@@ -1,0 +1,185 @@
+"""Checkpoint save/restore.
+
+Parity targets (SURVEY §5 checkpoint/resume):
+* interval + keep_max retention (reference ``ModelCheckpoint`` /
+  ``CheckpointConfig``; online learning saves every 100 steps keep 5 —
+  ``examples/online_learning/online_train.py:81-82``),
+* per-rank sliced checkpoints for sharded tables
+  (``integrated_save=False`` mode,
+  ``train_and_eval_parameter_server_distribute.py:130-131``),
+* merge of sliced checkpoints for eval/serving
+  (``models/wide_deep/eval.py:84-105``).
+
+Format: one ``.npz`` per (checkpoint, process) holding flat path-keyed
+arrays; sharded arrays are saved as the local addressable shards plus an
+index describing global shape/sharding so :func:`merge_sliced` can
+reassemble a full table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in leaves:
+        key = "/".join(
+            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+            for p in path
+        )
+        out[key] = leaf
+    return out, treedef
+
+
+def save_checkpoint(
+    directory: str | os.PathLike,
+    state,
+    step: int,
+    prefix: str = "ckpt",
+    keep_max: int | None = None,
+    process_index: int | None = None,
+) -> str:
+    """Save a pytree state. Returns the written file path."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    flat, _ = _flatten(state)
+    rank = process_index if process_index is not None else jax.process_index()
+    arrays = {}
+    index = {}
+    for key, leaf in flat.items():
+        arr = leaf
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            # save only this process's shards (sliced checkpoint)
+            shards = [s for s in arr.addressable_shards]
+            for s in shards:
+                arrays[f"{key}@@shard{s.index}"] = np.asarray(s.data)
+            index[key] = {
+                "global_shape": list(arr.shape),
+                "sliced": True,
+            }
+        else:
+            arrays[key] = np.asarray(arr)
+            index[key] = {"global_shape": list(np.shape(arr)), "sliced": False}
+    path = directory / f"{prefix}-{step:010d}-r{rank}.npz"
+    np.savez(path, __index__=json.dumps(index), **arrays)
+    if keep_max is not None:
+        _apply_retention(directory, prefix, rank, keep_max)
+    return str(path)
+
+
+def _apply_retention(directory: Path, prefix: str, rank: int, keep_max: int):
+    pat = re.compile(rf"^{re.escape(prefix)}-(\d+)-r{rank}\.npz$")
+    files = sorted(
+        (f for f in directory.iterdir() if pat.match(f.name)),
+        key=lambda f: int(pat.match(f.name).group(1)),
+    )
+    for f in files[:-keep_max] if keep_max > 0 else []:
+        f.unlink()
+
+
+def latest_checkpoint(directory: str | os.PathLike, prefix: str = "ckpt", rank: int = 0):
+    directory = Path(directory)
+    pat = re.compile(rf"^{re.escape(prefix)}-(\d+)-r{rank}\.npz$")
+    best, best_step = None, -1
+    if not directory.exists():
+        return None, -1
+    for f in directory.iterdir():
+        m = pat.match(f.name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = f, int(m.group(1))
+    return (str(best), best_step) if best else (None, -1)
+
+
+def restore_checkpoint(path: str | os.PathLike, like):
+    """Restore into the structure of ``like`` (a template pytree)."""
+    z = np.load(path, allow_pickle=False)
+    index = json.loads(str(z["__index__"]))
+    flat_like, treedef = _flatten_with_treedef(like)
+    leaves = []
+    for key, leaf in flat_like:
+        info = index.get(key)
+        if info is None:
+            raise KeyError(f"checkpoint missing key {key}")
+        if info["sliced"]:
+            arr = _merge_shards(z, key, tuple(info["global_shape"]))
+        else:
+            arr = z[key]
+        leaves.append(jax.numpy.asarray(arr).astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _flatten_with_treedef(tree):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in leaves:
+        key = "/".join(
+            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p))
+            for p in path
+        )
+        out.append((key, leaf))
+    return out, treedef
+
+
+def _merge_shards(z, key: str, global_shape):
+    """Merge sliced-save shards of one array (the reference's
+    ``merge_sliced_parameter`` equivalent, ``eval.py:84-105``)."""
+    out = np.zeros(global_shape, dtype=None)
+    initialized = False
+    for name in z.files:
+        if not name.startswith(f"{key}@@shard"):
+            continue
+        idx_str = name.split("@@shard", 1)[1]
+        slices = _parse_index(idx_str, global_shape)
+        data = z[name]
+        if not initialized:
+            out = np.zeros(global_shape, dtype=data.dtype)
+            initialized = True
+        out[slices] = data
+    if not initialized:
+        raise KeyError(f"no shards found for {key}")
+    return out
+
+
+def _parse_index(idx_str: str, global_shape):
+    """Parse the string form of a shard index tuple, e.g.
+    '(slice(0, 512, None), slice(None, None, None))'."""
+    slices = []
+    for m in re.finditer(r"slice\(([^)]*)\)", idx_str):
+        parts = [p.strip() for p in m.group(1).split(",")]
+        vals = [None if p == "None" else int(p) for p in parts]
+        slices.append(slice(*vals))
+    if not slices:
+        return tuple(slice(None) for _ in global_shape)
+    return tuple(slices)
+
+
+def merge_sliced(paths: list[str], like):
+    """Merge per-rank sliced checkpoints into one full state (reference
+    strategy-ckpt merge at eval, ``eval.py:84-105``)."""
+    zs = [np.load(p, allow_pickle=False) for p in paths]
+    index = json.loads(str(zs[0]["__index__"]))
+    flat_like, treedef = _flatten_with_treedef(like)
+    leaves = []
+    for key, leaf in flat_like:
+        info = index[key]
+        if info["sliced"]:
+            out = None
+            for z in zs:
+                for name in z.files:
+                    if name.startswith(f"{key}@@shard"):
+                        data = z[name]
+                        if out is None:
+                            out = np.zeros(info["global_shape"], dtype=data.dtype)
+                        out[_parse_index(name.split("@@shard", 1)[1], info["global_shape"])] = data
+            leaves.append(jax.numpy.asarray(out))
+        else:
+            leaves.append(jax.numpy.asarray(zs[0][key]))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

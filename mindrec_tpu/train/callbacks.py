@@ -1,0 +1,192 @@
+"""Training callbacks (reference lifecycle parity).
+
+Mirrors the reference callback surface: per-step loss logging with rank
+id to ``loss.log`` (``models/wide_deep/src/callbacks.py:51-76``),
+per-epoch eval + ``eval.log`` (``callbacks.py:105-131``), step timing
+(``TimeMonitor``), and interval/keep-max checkpointing
+(``examples/online_learning/online_train.py:81-82``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+
+@dataclass
+class RunContext:
+    """State handed to callbacks each step/epoch."""
+
+    epoch_num: int = 0
+    cur_step_num: int = 0
+    batch_num: int = 0
+    net_outputs: Any = None
+    train_state: Any = None
+    rank_id: int = 0
+    _stop: bool = field(default=False, repr=False)
+
+    def request_stop(self):
+        self._stop = True
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop
+
+
+class Callback:
+    def on_train_begin(self, ctx: RunContext):
+        pass
+
+    def on_train_end(self, ctx: RunContext):
+        pass
+
+    def on_train_epoch_begin(self, ctx: RunContext):
+        pass
+
+    def on_train_epoch_end(self, ctx: RunContext):
+        pass
+
+    def on_train_step_begin(self, ctx: RunContext):
+        pass
+
+    def on_train_step_end(self, ctx: RunContext):
+        pass
+
+
+class CallbackManager(Callback):
+    def __init__(self, callbacks):
+        self.callbacks = list(callbacks or [])
+
+    def _fan(self, name, ctx):
+        for cb in self.callbacks:
+            getattr(cb, name)(ctx)
+
+    def on_train_begin(self, ctx):
+        self._fan("on_train_begin", ctx)
+
+    def on_train_end(self, ctx):
+        self._fan("on_train_end", ctx)
+
+    def on_train_epoch_begin(self, ctx):
+        self._fan("on_train_epoch_begin", ctx)
+
+    def on_train_epoch_end(self, ctx):
+        self._fan("on_train_epoch_end", ctx)
+
+    def on_train_step_begin(self, ctx):
+        self._fan("on_train_step_begin", ctx)
+
+    def on_train_step_end(self, ctx):
+        self._fan("on_train_step_end", ctx)
+
+
+class LossCallback(Callback):
+    """Print / append per-step wide+deep loss with rank id
+    (reference ``LossCallBack``, ``callbacks.py:51-76``).  Also watches
+    for NaN/Inf loss (the reference's docstringed oracle)."""
+
+    def __init__(self, loss_file: Optional[str] = None, per_print_times: int = 1):
+        self.loss_file = loss_file
+        self.per_print_times = per_print_times
+
+    def on_train_step_end(self, ctx: RunContext):
+        if ctx.cur_step_num % self.per_print_times != 0:
+            return
+        out = ctx.net_outputs
+        if isinstance(out, tuple) and len(out) == 2:
+            loss_w, loss_d = float(np.asarray(out[0])), float(np.asarray(out[1]))
+            msg = (
+                f"epoch: {ctx.epoch_num} step: {ctx.cur_step_num}, "
+                f"wide_loss is {loss_w:.6f}, deep_loss is {loss_d:.6f}"
+            )
+            bad = not (np.isfinite(loss_w) and np.isfinite(loss_d))
+        else:
+            loss = float(np.asarray(out))
+            msg = f"epoch: {ctx.epoch_num} step: {ctx.cur_step_num}, loss is {loss:.6f}"
+            bad = not np.isfinite(loss)
+        if bad:
+            raise ValueError(f"loss is NaN or Inf at step {ctx.cur_step_num}: {msg}")
+        print(f"[rank {ctx.rank_id}] {msg}", flush=True)
+        if self.loss_file:
+            with open(self.loss_file, "a") as f:
+                f.write(msg + "\n")
+
+
+class EvalCallback(Callback):
+    """Run eval at each epoch end, append AUC to eval log
+    (reference ``EvalCallBack``, ``callbacks.py:105-131``)."""
+
+    def __init__(self, rec_model, dataset, eval_file: Optional[str] = None):
+        self.rec_model = rec_model
+        self.dataset = dataset
+        self.eval_file = eval_file
+        self.history: list[float] = []
+
+    def on_train_epoch_end(self, ctx: RunContext):
+        metrics = self.rec_model.eval(self.dataset)
+        auc = metrics.get("auc")
+        self.history.append(auc)
+        msg = f"epoch: {ctx.epoch_num}, auc: {auc}"
+        print(msg, flush=True)
+        if self.eval_file:
+            with open(self.eval_file, "a") as f:
+                f.write(time.strftime("%Y-%m-%d %H:%M:%S ") + msg + "\n")
+
+
+class TimeMonitor(Callback):
+    """Epoch + per-step timing (reference ``TimeMonitor``)."""
+
+    def __init__(self, data_size: Optional[int] = None):
+        self.data_size = data_size
+        self.step_times: list[float] = []
+        self._epoch_t0 = None
+        self._step_t0 = None
+
+    def on_train_epoch_begin(self, ctx):
+        self._epoch_t0 = time.perf_counter()
+        self.step_times = []
+
+    def on_train_step_begin(self, ctx):
+        self._step_t0 = time.perf_counter()
+
+    def on_train_step_end(self, ctx):
+        if self._step_t0 is not None:
+            self.step_times.append(time.perf_counter() - self._step_t0)
+
+    def on_train_epoch_end(self, ctx):
+        dt = time.perf_counter() - self._epoch_t0
+        n = len(self.step_times) or 1
+        print(
+            f"epoch time: {dt * 1000:.3f} ms, per step time: {dt * 1000 / n:.3f} ms",
+            flush=True,
+        )
+
+
+class CheckpointCallback(Callback):
+    """Save every ``save_steps`` steps, keep at most ``keep_max``
+    (reference online-learning policy: every 100 steps keep 5,
+    ``online_train.py:81-82``)."""
+
+    def __init__(self, directory: str, prefix: str = "ckpt", save_steps: int = 100, keep_max: int = 5):
+        self.directory = directory
+        self.prefix = prefix
+        self.save_steps = save_steps
+        self.keep_max = keep_max
+        self.saved: list[str] = []
+
+    def on_train_step_end(self, ctx: RunContext):
+        if ctx.cur_step_num % self.save_steps != 0:
+            return
+        from mindrec_tpu.io.checkpoint import save_checkpoint
+
+        path = save_checkpoint(
+            self.directory,
+            ctx.train_state,
+            step=ctx.cur_step_num,
+            prefix=self.prefix,
+            keep_max=self.keep_max,
+        )
+        self.saved.append(path)

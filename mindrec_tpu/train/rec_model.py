@@ -1,0 +1,211 @@
+"""RecModel — the high-level training API.
+
+Re-designs the reference ``mindspore_rec.RecModel``
+(``mindspore_rec/train/rec_model.py:34-309``): a model wrapper exposing
+``train`` / ``eval`` / ``online_train``, with the reference's
+online-training semantics preserved:
+
+* ``online_train`` loops over an **unbounded** streaming dataset
+  (``for epoch in range(sys.maxsize)`` — ``rec_model.py:217,283``);
+* sink mode processes exactly one batch per sink iteration and
+  ``sink_size`` must be 1 (``rec_model.py:267-271``), matching the
+  reference's validation errors (ValueError for ``sink_size != 1`` or
+  negative, TypeError for non-bool sink mode);
+* full callback lifecycle around epochs/steps
+  (``rec_model.py:215-249,277-309``);
+* on CPU targets sink mode is forced off (``rec_model.py:179-186``) —
+  here "sink" means async device prefetch, which we simply skip on CPU.
+
+In this framework "dataset sink" = the :class:`PrefetchToDevice` async
+host->device pipeline; the jitted step function plays the role of the
+reference's compiled sink graph.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+
+from mindrec_tpu.data.criteo import PrefetchToDevice
+from mindrec_tpu.train import optim as optim_lib
+from mindrec_tpu.train.callbacks import CallbackManager, RunContext
+from mindrec_tpu.train.metrics import AUCMetric
+from mindrec_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class RecModel:
+    """High-level wrapper tying a model, dual optimizers, metrics and the
+    train/eval step functions together.
+
+    Args:
+      model: a model object from ``mindrec_tpu.models`` (provides
+        ``init`` / ``apply`` / ``apply_rows`` / ``loss`` / ``predict``).
+      opt_w / opt_d: wide/deep optimizers; defaults match the reference
+        dual-optimizer recipe (FTRL 5e-2 / Adam 3.5e-4, loss_scale from
+        the model config).
+      metrics: dict name -> Metric; default {"auc": AUCMetric()}.
+    """
+
+    def __init__(
+        self,
+        model,
+        opt_w=None,
+        opt_d=None,
+        metrics=None,
+        seed: int = 0,
+        jit: bool = True,
+        donate: bool = True,
+    ):
+        self.model = model
+        sens = float(getattr(model.config, "loss_scale", 1.0))
+        self.opt_w = opt_w or optim_lib.ftrl(loss_scale=sens)
+        self.opt_d = opt_d or optim_lib.adam(loss_scale=sens)
+        self.metrics = metrics if metrics is not None else {"auc": AUCMetric()}
+        self.state: TrainState = init_train_state(
+            model, jax.random.PRNGKey(seed), self.opt_w, self.opt_d
+        )
+        self.train_step = make_train_step(
+            model, self.opt_w, self.opt_d, jit=jit, donate=donate
+        )
+        self.eval_step = make_eval_step(model, jit=jit)
+        self.rank_id = jax.process_index()
+
+    @property
+    def params(self):
+        return self.state.params
+
+    # ------------------------------------------------------------------
+    # offline training
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        epoch: int,
+        train_dataset,
+        callbacks=None,
+        dataset_sink_mode: bool = True,
+    ):
+        """Epoch-bounded training over a re-iterable dataset."""
+        self._check_sink_mode_type(dataset_sink_mode)
+        cb = CallbackManager(callbacks)
+        ctx = RunContext(rank_id=self.rank_id, train_state=self.state)
+        cb.on_train_begin(ctx)
+        step_num = 0
+        for ep in range(1, epoch + 1):
+            ctx.epoch_num = ep
+            cb.on_train_epoch_begin(ctx)
+            it = self._maybe_sink(train_dataset, dataset_sink_mode)
+            for batch in it:
+                step_num += 1
+                ctx.cur_step_num = step_num
+                cb.on_train_step_begin(ctx)
+                self.state, losses = self.train_step(self.state, batch)
+                ctx.net_outputs = losses
+                ctx.train_state = self.state
+                cb.on_train_step_end(ctx)
+                if ctx.stop_requested:
+                    break
+            cb.on_train_epoch_end(ctx)
+            if ctx.stop_requested:
+                break
+        cb.on_train_end(ctx)
+        return self.state
+
+    # ------------------------------------------------------------------
+    # online (streaming, unbounded) training — reference parity
+    # ------------------------------------------------------------------
+
+    def online_train(
+        self,
+        train_dataset,
+        callbacks=None,
+        dataset_sink_mode: bool = False,
+        sink_size: int = 1,
+    ):
+        """Unbounded streaming training (reference ``online_train``,
+        ``rec_model.py:118-309``).  Iterates the streaming dataset until
+        it is exhausted or a callback requests stop; the epoch loop is
+        unbounded (``sys.maxsize``)."""
+        self._check_sink_mode_type(dataset_sink_mode)
+        if sink_size < 1:
+            # parity: reference raises for sink_size <= 0 (rec_model.py:267-271)
+            raise ValueError(
+                f"The 'sink_size' must be a positive integer, but got {sink_size}."
+            )
+        if dataset_sink_mode and sink_size != 1:
+            raise ValueError(
+                "The 'sink_size' must be 1 for online training in dataset "
+                f"sink mode, but got {sink_size}."
+            )
+        if jax.default_backend() == "cpu":
+            # parity: CPU target forces non-sink (rec_model.py:179-186)
+            dataset_sink_mode = False
+
+        cb = CallbackManager(callbacks)
+        ctx = RunContext(rank_id=self.rank_id, train_state=self.state)
+        cb.on_train_begin(ctx)
+        step_num = 0
+        it = iter(self._maybe_sink(train_dataset, dataset_sink_mode))
+        exhausted = False
+        for ep in range(1, sys.maxsize):
+            if exhausted or ctx.stop_requested:
+                break
+            ctx.epoch_num = ep
+            cb.on_train_epoch_begin(ctx)
+            # one "epoch" of a streaming dataset = one sink iteration
+            # (sink_size==1: exactly one batch per iteration)
+            try:
+                batch = next(it)
+            except StopIteration:
+                exhausted = True
+                cb.on_train_epoch_end(ctx)
+                break
+            step_num += 1
+            ctx.cur_step_num = step_num
+            cb.on_train_step_begin(ctx)
+            self.state, losses = self.train_step(self.state, batch)
+            ctx.net_outputs = losses
+            ctx.train_state = self.state
+            cb.on_train_step_end(ctx)
+            cb.on_train_epoch_end(ctx)
+        cb.on_train_end(ctx)
+        return self.state
+
+    # ------------------------------------------------------------------
+    # eval
+    # ------------------------------------------------------------------
+
+    def eval(self, dataset, metrics=None) -> dict:
+        metrics = metrics or self.metrics
+        for m in metrics.values():
+            m.clear()
+        for batch in dataset:
+            probs, labels = self.eval_step(self.state.params, batch)
+            probs, labels = np.asarray(probs), np.asarray(labels)
+            for m in metrics.values():
+                m.update(probs, labels)
+        return {name: m.eval() for name, m in metrics.items()}
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _check_sink_mode_type(dataset_sink_mode):
+        if not isinstance(dataset_sink_mode, bool):
+            # parity: reference raises TypeError for non-bool sink mode
+            raise TypeError(
+                "The 'dataset_sink_mode' must be a bool, but got "
+                f"{type(dataset_sink_mode).__name__}."
+            )
+
+    def _maybe_sink(self, dataset, sink: bool) -> Iterable:
+        if sink and jax.default_backend() != "cpu":
+            return PrefetchToDevice(dataset, depth=2)
+        return iter(dataset)
