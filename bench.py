@@ -1,0 +1,88 @@
+"""Benchmark: Wide&Deep training throughput (reference recipe parity).
+
+Reproduces the reference benchmark config
+(``benchmarks/wide_deep/default_config.yaml``: bs 16000, 39 fields,
+vocab 5.86M, emb 16, 7x1024 MLP) on one TPU chip and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: 267,558 samples/s on 1x V100 (``benchmarks/README.md:76-78``).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=16000)
+    ap.add_argument("--vocab-size", type=int, default=5_860_000)
+    ap.add_argument("--emb-dim", type=int, default=16)
+    ap.add_argument("--field-size", type=int, default=39)
+    ap.add_argument("--layers", type=int, default=7)
+    ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--dense", action="store_true", help="dense-grad path instead of row-sparse")
+    args = ap.parse_args()
+
+    import jax
+
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step
+
+    cfg = WideDeepConfig(
+        batch_size=args.batch_size,
+        field_size=args.field_size,
+        vocab_size=args.vocab_size,
+        emb_dim=args.emb_dim,
+        deep_layer_dim=tuple([args.hidden] * args.layers),
+        use_mixed_precision=True,
+        sparse=not args.dense,
+        loss_scale=1024.0,
+    )
+    model = WideDeepModel(cfg)
+    opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
+    step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
+
+    data = SyntheticCriteo(
+        cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0
+    )
+    batches = [
+        {k: jax.device_put(v) for k, v in data.get_batch(s).items()}
+        for s in range(8)
+    ]
+
+    for i in range(args.warmup):
+        state, losses = step(state, batches[i % len(batches)])
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, losses = step(state, batches[i % len(batches)])
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    samples_per_s = args.steps * cfg.batch_size / dt
+    baseline = 267_558.0  # reference 1xV100 (benchmarks/README.md:76-78)
+    print(
+        json.dumps(
+            {
+                "metric": "wide_deep_train_samples_per_sec_1chip",
+                "value": round(samples_per_s, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

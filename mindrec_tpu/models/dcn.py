@@ -1,0 +1,142 @@
+"""Deep & Cross Network (DCN), TPU-native.
+
+Functional re-design of the reference
+(``models/deep_and_cross/src/deep_and_cross.py:117-370``):
+
+* ``cross_layer_num`` (default 6) explicit cross layers:
+  ``y = x0 * (x_l @ w) + b + x_l`` with ``w, b`` of size ``[d]``
+  (``deep_and_cross.py:139-149``) — note the rank-1 structure: the
+  per-layer cost is two [B,d] GEMVs, not a [d,d] matmul;
+* a parallel deep tower (2 layers of 1024) over the same input;
+* final dense over ``concat(deep_out, cross_out)``
+  (``deep_and_cross.py:293-309``);
+* loss: plain mean sigmoid-CE (``deep_and_cross.py:311-330``);
+* single Adam optimizer with sens loss-scale
+  (``deep_and_cross.py:342-353``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mindrec_tpu.models.wide_deep import ACTS, _dense_init, sigmoid_cross_entropy
+from mindrec_tpu.ops.embedding import EmbeddingLookup, EmbeddingTableSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class DCNConfig:
+    """Defaults = reference DeepCrossConfig
+    (``models/deep_and_cross/src/config.py:58-83``)."""
+
+    batch_size: int = 16000
+    field_size: int = 39
+    vocab_size: int = 200000
+    emb_dim: int = 27
+    deep_layer_dim: Sequence[int] = (1024, 1024)
+    cross_layer_num: int = 6
+    deep_layer_act: str = "relu"
+    keep_prob: float = 1.0
+    dropout_flag: bool = False
+    use_mixed_precision: bool = False
+    sparse: bool = False
+    loss_scale: float = 1.0
+    learning_rate: float = 1e-4
+    init_args: tuple = (-0.01, 0.01)
+
+
+class DCNModel:
+    WIDE_KEYS = ()
+
+    def __init__(self, config: DCNConfig, mesh=None):
+        self.config = config
+        c = config
+        self.emb_spec = EmbeddingTableSpec(
+            vocab_size=c.vocab_size,
+            emb_dim=c.emb_dim,
+            name="dcn_embedding",
+            sparse=c.sparse,
+            init_args=c.init_args,
+        )
+        self.lookup = EmbeddingLookup(self.emb_spec, mesh)
+        self.input_size = c.field_size * c.emb_dim
+        dims = [self.input_size, *c.deep_layer_dim]
+        self.mlp_dims = list(zip(dims[:-1], dims[1:]))
+        self.act = ACTS[c.deep_layer_act]
+
+    @property
+    def table_specs(self):
+        return {"emb": (("emb", "table"), self.emb_spec)}
+
+    def init(self, key) -> dict:
+        c = self.config
+        n_cross = c.cross_layer_num
+        keys = jax.random.split(key, 2 + n_cross + len(self.mlp_dims))
+        d = self.input_size
+        cross = []
+        for i in range(n_cross):
+            kw, kb = jax.random.split(keys[1 + i])
+            cross.append(
+                {
+                    "w": 0.01 * jax.random.normal(kw, (d,), jnp.float32),
+                    "b": 0.01 * jax.random.normal(kb, (d,), jnp.float32),
+                }
+            )
+        mlp = [
+            _dense_init(k, i, o)
+            for k, (i, o) in zip(keys[1 + n_cross :], self.mlp_dims)
+        ]
+        k_final = keys[-1]
+        final = _dense_init(k_final, d + c.deep_layer_dim[-1], 1)
+        return {
+            "emb": {"table": self.lookup.init(keys[0])},
+            "cross": cross,
+            "mlp": mlp,
+            "final": final,
+        }
+
+    def _cross_net(self, cross_params, x0):
+        """x_{l+1} = x0 * (x_l @ w_l) + b_l + x_l   (rank-1 cross)."""
+        x = x0
+        for layer in cross_params:
+            xlw = jnp.einsum("bd,d->b", x, layer["w"])  # [B]
+            x = x0 * xlw[:, None] + layer["b"][None, :] + x
+        return x
+
+    def _deep_net(self, mlp_params, x, train, rng):
+        c = self.config
+        dtype = jnp.bfloat16 if c.use_mixed_precision else jnp.float32
+        h = x.astype(dtype)
+        for layer in mlp_params:
+            h = jnp.dot(h, layer["w"].astype(dtype)) + layer["b"].astype(dtype)
+            h = self.act(h)
+        return h.astype(jnp.float32)
+
+    def apply_rows(self, params, rows, wts, train=False, rng=None):
+        c = self.config
+        vx = rows["emb"] * wts[:, :, None]
+        x0 = vx.reshape(-1, self.input_size)
+        deep_out = self._deep_net(params["mlp"], x0, train, rng)
+        cross_out = self._cross_net(params["cross"], x0)
+        h = jnp.concatenate([deep_out, cross_out], axis=1)
+        return jnp.dot(h, params["final"]["w"]) + params["final"]["b"]
+
+    def apply(self, params, ids, wts, train=False, rng=None):
+        rows = {"emb": self.lookup(params["emb"]["table"], ids)}
+        return self.apply_rows(params, rows, wts, train, rng)
+
+    def apply_batch(self, params, batch, train=False, rng=None):
+        return self.apply(params, batch["ids"], batch["wts"], train, rng)
+
+    def predict_batch(self, params, batch):
+        return self.predict(params, batch["ids"], batch["wts"])
+
+    def loss(self, params, logits, label):
+        ce = jnp.mean(sigmoid_cross_entropy(logits, label))
+        return ce, ce
+
+    def predict(self, params, ids, wts):
+        return jax.nn.sigmoid(self.apply(params, ids, wts, train=False))

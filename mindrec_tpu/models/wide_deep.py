@@ -145,10 +145,11 @@ class WideDeepModel:
                 h = self.act(h)
         return h.astype(jnp.float32)
 
-    def apply_rows(self, params, wide_rows, deep_rows, wts, train=False, rng=None):
-        """Forward from pre-gathered rows: wide_rows [B,F,1], deep_rows
-        [B,F,D], wts [B,F]."""
+    def apply_rows(self, params, rows, wts, train=False, rng=None):
+        """Forward from pre-gathered rows: ``rows`` is a dict keyed by
+        table name — {"wide": [B,F,1], "deep": [B,F,D]}; wts [B,F]."""
         c = self.config
+        wide_rows, deep_rows = rows["wide"], rows["deep"]
         mask = wts[:, :, None]
         wide_out = jnp.sum(wide_rows * mask, axis=(1, 2), keepdims=False)
         wide_out = wide_out[:, None] + params["wide"]["bias"]
@@ -157,9 +158,18 @@ class WideDeepModel:
         return wide_out + deep_out  # [B, 1]
 
     def apply(self, params, ids, wts, train=False, rng=None):
-        wide_rows = self.wide_lookup(params["wide"]["table"], ids)
-        deep_rows = self.deep_lookup(params["deep"]["table"], ids)
-        return self.apply_rows(params, wide_rows, deep_rows, wts, train, rng)
+        rows = {
+            "wide": self.wide_lookup(params["wide"]["table"], ids),
+            "deep": self.deep_lookup(params["deep"]["table"], ids),
+        }
+        return self.apply_rows(params, rows, wts, train, rng)
+
+    def apply_batch(self, params, batch, train=False, rng=None):
+        """Model-agnostic entry used by the generic train/eval steps."""
+        return self.apply(params, batch["ids"], batch["wts"], train, rng)
+
+    def predict_batch(self, params, batch):
+        return self.predict(params, batch["ids"], batch["wts"])
 
     # -- loss ---------------------------------------------------------
 

@@ -65,10 +65,16 @@ class EmbeddingTableSpec:
     init_args: tuple = (-0.01, 0.01)
     max_norm: Optional[float] = None
 
+    row_alignment: int = 128
+
     @property
     def padded_vocab(self) -> int:
-        """Physical row count: +1 dummy row for padded/sentinel ids."""
-        return self.vocab_size + 1
+        """Physical row count: +1 dummy row for padded/sentinel ids, then
+        rounded up to ``row_alignment`` so the table divides evenly over
+        any mesh axis (sharding) and tiles cleanly."""
+        n = self.vocab_size + 1
+        a = self.row_alignment
+        return (n + a - 1) // a * a
 
     @property
     def dummy_id(self) -> int:
@@ -104,8 +110,9 @@ class EmbeddingLookup:
         table = _init_rows(
             key, (spec.padded_vocab, spec.emb_dim), spec.init, spec.init_args
         )
-        # dummy row is zeros so accidental reads contribute nothing
-        table = table.at[spec.dummy_id].set(0.0)
+        # dummy + alignment-padding rows are zeros so accidental reads
+        # contribute nothing
+        table = table.at[spec.dummy_id :].set(0.0)
         if self.mesh is not None and spec.slice_mode != "none":
             table = jax.device_put(table, spec.sharding(self.mesh))
         return table

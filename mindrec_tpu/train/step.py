@@ -163,9 +163,7 @@ def make_train_step(
         rng, sub = jax.random.split(state.rng)
 
         def loss_fn(params):
-            logits = model.apply(
-                params, batch["ids"], batch["wts"], train=True, rng=sub
-            )
+            logits = model.apply_batch(params, batch, train=True, rng=sub)
             loss_w, loss_d = model.loss(params, logits, batch["label"])
             return loss_d * sens, (loss_w, loss_d)
 
@@ -203,12 +201,7 @@ def make_train_step(
                 name: r[uq.inverse] for name, r in rows_u.items()
             }  # [B, F, dim]
             logits = model.apply_rows(
-                params,
-                rows_full["wide"],
-                rows_full["deep"],
-                batch["wts"],
-                train=True,
-                rng=sub,
+                params, rows_full, batch["wts"], train=True, rng=sub
             )
             loss_w, loss_d = model.loss(params, logits, batch["label"])
             return loss_d * sens, (loss_w, loss_d)
@@ -253,7 +246,7 @@ def make_eval_step(model, jit: bool = True):
     reference PredictWithSigmoid head, ``wide_and_deep.py:495-519``)."""
 
     def eval_step(params, batch):
-        probs = model.predict(params, batch["ids"], batch["wts"])
+        probs = model.predict_batch(params, batch)
         return probs, batch["label"]
 
     return jax.jit(eval_step) if jit else eval_step
