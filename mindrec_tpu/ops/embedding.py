@@ -65,7 +65,9 @@ class EmbeddingTableSpec:
     init_args: tuple = (-0.01, 0.01)
     max_norm: Optional[float] = None
 
-    row_alignment: int = 128
+    # 1024 keeps tables divisible by any mesh axis AND by the streamed
+    # Pallas kernels' tile sizes (powers of two up to 2048)
+    row_alignment: int = 1024
 
     @property
     def padded_vocab(self) -> int:

@@ -36,11 +36,18 @@ Params = Any
 
 @dataclasses.dataclass(frozen=True)
 class Optimizer:
-    """Leaf-wise optimizer: state is a pytree aligned with each param leaf."""
+    """Leaf-wise optimizer: state is a pytree aligned with each param leaf.
+
+    ``kind``/``hyper`` expose the update rule so specialized backends
+    (the Pallas streamed kernels) can re-implement it without the
+    gather/scatter formulation.
+    """
 
     init_leaf: Callable[[jnp.ndarray], Any]
     update_leaf: Callable[..., tuple[jnp.ndarray, Any]]
     update_rows: Callable[..., tuple[jnp.ndarray, Any]]
+    kind: str = "custom"
+    hyper: dict = dataclasses.field(default_factory=dict)
 
     def init(self, params):
         """Tree-level init: one leaf-state per param leaf."""
@@ -116,7 +123,15 @@ def ftrl(
             },
         )
 
-    return Optimizer(init_leaf, update_leaf, update_rows)
+    return Optimizer(
+        init_leaf, update_leaf, update_rows,
+        kind="ftrl",
+        hyper={
+            "learning_rate": learning_rate, "l1": l1, "l2": l2,
+            "initial_accum": initial_accum, "lr_power": lr_power,
+            "loss_scale": loss_scale,
+        },
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +196,14 @@ def adam(
             },
         )
 
-    return Optimizer(init_leaf, update_leaf, update_rows)
+    return Optimizer(
+        init_leaf, update_leaf, update_rows,
+        kind="adam",
+        hyper={
+            "learning_rate": learning_rate, "b1": b1, "b2": b2, "eps": eps,
+            "loss_scale": loss_scale,
+        },
+    )
 
 
 def lazy_adam(**kw) -> Optimizer:
@@ -211,4 +233,8 @@ def sgd(learning_rate: float = 1e-2, loss_scale: float = 1.0) -> Optimizer:
         new = rows - learning_rate * grad_rows.astype(jnp.float32) * inv_scale
         return table.at[row_ids].set(new.astype(table.dtype)), state
 
-    return Optimizer(init_leaf, update_leaf, update_rows)
+    return Optimizer(
+        init_leaf, update_leaf, update_rows,
+        kind="sgd",
+        hyper={"learning_rate": learning_rate, "loss_scale": loss_scale},
+    )

@@ -102,6 +102,53 @@ def init_train_state(model, key, opt_w: Optimizer, opt_d: Optimizer) -> TrainSta
 # ---------------------------------------------------------------------------
 
 
+def _streamed_table_update(opt: Optimizer, grads, sorted_ids, leaf_state, table):
+    """Dispatch a row-sparse optimizer update to the scatter-free Pallas
+    streaming kernels (ops/pallas/stream_update.py).  Falls back to the
+    generic gather/scatter path for unknown optimizer kinds."""
+    import jax.numpy as jnp
+
+    from mindrec_tpu.ops.pallas import stream_update as su
+
+    V = table.shape[0]
+    tile = None
+    for cand in (2048, 1024, 512, 256, 128):
+        if V % cand == 0:
+            tile = cand
+            break
+    h = opt.hyper
+    if opt.kind == "sgd":
+        # linear update: scatter-add handles duplicate ids exactly
+        delta = -h["learning_rate"] * grads.astype(jnp.float32) / h["loss_scale"]
+        return table.at[sorted_ids].add(delta.astype(table.dtype)), leaf_state
+    if tile is None or opt.kind not in ("adam", "ftrl"):
+        raise ValueError(
+            f"streamed update unavailable (kind={opt.kind}, rows={V}); "
+            "tables must be row-aligned to 128 and use ftrl/adam/sgd"
+        )
+    if opt.kind == "adam":
+        step = leaf_state["step"] + 1
+        s = step.astype(jnp.float32)
+        lr_t = (
+            h["learning_rate"]
+            * jnp.sqrt(1.0 - jnp.power(h["b2"], s))
+            / (1.0 - jnp.power(h["b1"], s))
+        )
+        t2, m2, v2 = su.streamed_adam_rows(
+            table, leaf_state["m"], leaf_state["v"], sorted_ids, grads, lr_t,
+            b1=h["b1"], b2=h["b2"], eps=h["eps"], loss_scale=h["loss_scale"],
+            tile=tile,
+        )
+        return t2, {"m": m2, "v": v2, "step": step}
+    # ftrl (lr_power fixed -0.5, the reference default)
+    t2, a2, l2 = su.streamed_ftrl_rows(
+        table, leaf_state["accum"], leaf_state["linear"], sorted_ids, grads,
+        learning_rate=h["learning_rate"], l1=h["l1"], l2=h["l2"],
+        loss_scale=h["loss_scale"], tile=tile,
+    )
+    return t2, {"accum": a2, "linear": l2}
+
+
 def make_train_step(
     model,
     opt_w: Optimizer,
@@ -110,6 +157,7 @@ def make_train_step(
     loss_scale: float | None = None,
     donate: bool = True,
     jit: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Build ``step(state, batch) -> (state, (loss_w, loss_d))``.
 
@@ -126,6 +174,10 @@ def make_train_step(
     )
     table_specs = getattr(model, "table_specs", {}) if sparse else {}
     table_keys = {"/".join(path): (name, path, spec) for name, (path, spec) in table_specs.items()}
+    if use_pallas is None:
+        # the streamed kernels target TPU; the generic gather/scatter path
+        # is faster to compile (and fine) on CPU test meshes
+        use_pallas = jax.default_backend() not in ("cpu",)
 
     def apply_updates(params, grads, opt_w_state, opt_d_state, skip_keys=()):
         flat_p, treedef = flatten_params(params)
@@ -176,57 +228,86 @@ def make_train_step(
             (loss_w, loss_d),
         )
 
+    def get_table(p, path):
+        node = p
+        for h in path:
+            node = node[h]
+        return node
+
     def sparse_step(state: TrainState, batch):
+        """Row-sparse step, two backends sharing one forward:
+
+        Forward gathers rows per position (``table[ids]``, [B,F,D]) and
+        differentiates w.r.t. the gathered rows — so the backward pass is
+        pure elementwise (no scatter into the vocab dimension, ever).
+
+        * pallas backend (TPU): sort (ids, pos) pairs, permute the row
+          grads into sorted order, and run the scatter-free streamed
+          optimizer kernels, which sum duplicate ids on the fly.
+        * generic backend (CPU tests): padded unique + segment-sum the
+          duplicate grads + row-wise gather/scatter optimizer update.
+        """
         rng, sub = jax.random.split(state.rng)
         params = state.params
         ids = batch["ids"]
-        # All criteo-model tables share one id tensor: one padded unique.
-        any_spec = next(iter(table_specs.values()))[1]
-        uq = unique_pad(ids, size=int(ids.shape[0]) * int(ids.shape[1]),
-                        fill_value=any_spec.dummy_id)
+        n_pos = int(ids.shape[0]) * int(ids.shape[1])
 
-        def get_table(p, path):
-            node = p
-            for h in path:
-                node = node[h]
-            return node
-
-        rows_u = {
-            name: get_table(params, path)[uq.ids]
+        rows = {
+            name: get_table(params, path)[ids]
             for name, (path, _) in table_specs.items()
         }
 
-        def loss_fn(params, rows_u):
-            rows_full = {
-                name: r[uq.inverse] for name, r in rows_u.items()
-            }  # [B, F, dim]
+        def loss_fn(params, rows):
             logits = model.apply_rows(
-                params, rows_full, batch["wts"], train=True, rng=sub
+                params, rows, batch["wts"], train=True, rng=sub
             )
             loss_w, loss_d = model.loss(params, logits, batch["label"])
             return loss_d * sens, (loss_w, loss_d)
 
         (grads, row_grads), (loss_w, loss_d) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(params, rows_u)
+        )(params, rows)
 
         # dense params (table grads are all-zero & skipped -> DCE'd by XLA)
         params2, opt_w_state, opt_d_state = apply_updates(
             params, grads, state.opt_w, state.opt_d, skip_keys=set(table_keys)
         )
 
-        # row-sparse table updates
+        if use_pallas:
+            sorted_ids, perm = jax.lax.sort_key_val(
+                ids.reshape(-1), jnp.arange(n_pos, dtype=jnp.int32)
+            )
+            upd = {
+                name: (sorted_ids, row_grads[name].reshape(n_pos, -1)[perm])
+                for name in table_specs
+            }
+        else:
+            any_spec = next(iter(table_specs.values()))[1]
+            uq = unique_pad(ids, size=n_pos, fill_value=any_spec.dummy_id)
+            upd = {}
+            for name in table_specs:
+                g = row_grads[name].reshape(n_pos, -1)
+                g_u = jax.ops.segment_sum(
+                    g, uq.inverse.reshape(-1), num_segments=n_pos
+                )
+                upd[name] = (uq.ids, g_u)
+
         for key, (name, path, spec) in table_keys.items():
             table = get_table(params, path)
-            if is_wide_key(key):
-                new_table, new_sub = opt_w.update_rows(
-                    row_grads[name], uq.ids, opt_w_state[key], table
+            opt = opt_w if is_wide_key(key) else opt_d
+            opt_state = opt_w_state if is_wide_key(key) else opt_d_state
+            sids, g = upd[name]
+            if use_pallas:
+                new_table, new_sub = _streamed_table_update(
+                    opt, g, sids, opt_state[key], table
                 )
+            else:
+                new_table, new_sub = opt.update_rows(
+                    g, sids, opt_state[key], table
+                )
+            if is_wide_key(key):
                 opt_w_state = {**opt_w_state, key: new_sub}
             else:
-                new_table, new_sub = opt_d.update_rows(
-                    row_grads[name], uq.ids, opt_d_state[key], table
-                )
                 opt_d_state = {**opt_d_state, key: new_sub}
             params2 = _set_table(params2, path, new_table)
 

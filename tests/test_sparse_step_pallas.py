@@ -1,0 +1,74 @@
+"""The pallas sparse step (sort+streamed kernels, interpret mode) must
+match the generic sparse step (unique+segment-sum+scatter)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+from mindrec_tpu.ops.pallas import stream_update
+from mindrec_tpu.train import optim
+from mindrec_tpu.train.step import init_train_state, make_train_step
+
+CFG = WideDeepConfig(
+    batch_size=32,
+    field_size=4,
+    vocab_size=900,  # padded to 1024
+    emb_dim=8,
+    deep_layer_dim=(16,),
+    use_mixed_precision=False,
+    sparse=True,
+    loss_scale=1024.0,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_kernels():
+    stream_update.INTERPRET = True
+    yield
+    stream_update.INTERPRET = False
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "ids": rng.integers(0, CFG.vocab_size, size=(CFG.batch_size, CFG.field_size)).astype(np.int32),
+        "wts": np.ones((CFG.batch_size, CFG.field_size), np.float32),
+        "label": (rng.uniform(size=(CFG.batch_size, 1)) > 0.5).astype(np.float32),
+    }
+
+
+def test_pallas_step_matches_generic():
+    model = WideDeepModel(CFG)
+    opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
+    key = jax.random.PRNGKey(0)
+
+    s_gen = init_train_state(model, key, opt_w, opt_d)
+    s_pal = init_train_state(model, key, opt_w, opt_d)
+
+    step_gen = make_train_step(model, opt_w, opt_d, jit=True, donate=False, use_pallas=False)
+    step_pal = make_train_step(model, opt_w, opt_d, jit=True, donate=False, use_pallas=True)
+
+    for i in range(3):
+        b = _batch(seed=i)
+        s_gen, (lw_g, ld_g) = step_gen(s_gen, b)
+        s_pal, (lw_p, ld_p) = step_pal(s_pal, b)
+        np.testing.assert_allclose(float(ld_g), float(ld_p), rtol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(s_pal.params["deep"]["table"]),
+        np.asarray(s_gen.params["deep"]["table"]),
+        rtol=2e-2, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pal.params["wide"]["table"]),
+        np.asarray(s_gen.params["wide"]["table"]),
+        rtol=2e-2, atol=1e-5,
+    )
+    # optimizer state parity too (deep table moments)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.opt_d["deep/table"]["m"]),
+        np.asarray(s_gen.opt_d["deep/table"]["m"]),
+        rtol=2e-2, atol=1e-5,
+    )
