@@ -1,0 +1,141 @@
+// Device-cache manager for the hierarchical embedding cache.
+//
+// TPU-native equivalent of the reference's engine-side embedding cache
+// (control surface: vocab_cache_size in nn.EmbeddingLookup /
+// HashEmbeddingLookup, mindspore_rec/ops/embedding.py:163-182; tiers
+// described in README.md:146-151): the device HBM holds a fixed arena
+// of `capacity` rows; this host-side manager maps huge feature ids ->
+// arena slots with LRU replacement and reports, per batch, which rows
+// to fetch from the host tier and which dirty rows to write back.
+//
+// Single-threaded per instance (driven by the input pipeline).
+// C ABI for ctypes.
+
+#include <cstdint>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+class LruCache {
+ public:
+  explicit LruCache(int64_t capacity) : cap_(capacity) {
+    prev_.resize(capacity, -1);
+    next_.resize(capacity, -1);
+    slot_key_.resize(capacity, -1);
+    // all slots start free
+    free_.reserve(capacity);
+    for (int64_t s = capacity - 1; s >= 0; --s) free_.push_back(s);
+  }
+
+  // Process one batch of ids. Outputs:
+  //   slots[n]       — arena slot for every id
+  //   load_ids/load_slots[<=n]   — rows the host must push to the arena
+  //   evict_ids/evict_slots[<=n] — dirty rows to read back first
+  // Returns number of misses (= len(load)); n_evict via out param.
+  int64_t Lookup(const int64_t* ids, int64_t n, int64_t* slots,
+                 int64_t* load_ids, int64_t* load_slots, int64_t* evict_ids,
+                 int64_t* evict_slots, int64_t* n_evict_out) {
+    // Pass 1: pin all ids already resident or inserted in this batch so
+    // they can't be chosen as victims mid-batch.
+    ++stamp_;
+    int64_t n_load = 0, n_evict = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t key = ids[i];
+      auto it = map_.find(key);
+      if (it != map_.end()) {
+        const int64_t s = it->second;
+        Touch(s);
+        pin_stamp_resize(s);
+        slots[i] = s;
+        continue;
+      }
+      // miss: need a slot
+      int64_t s;
+      if (!free_.empty()) {
+        s = free_.back();
+        free_.pop_back();
+      } else {
+        s = EvictLru();
+        if (s < 0) { slots[i] = -1; continue; }  // everything pinned
+        evict_ids[n_evict] = slot_key_[s];
+        evict_slots[n_evict] = s;
+        ++n_evict;
+        map_.erase(slot_key_[s]);
+      }
+      map_.emplace(key, s);
+      slot_key_[s] = key;
+      PushFront(s);
+      pin_stamp_resize(s);
+      load_ids[n_load] = key;
+      load_slots[n_load] = s;
+      ++n_load;
+      slots[i] = s;
+    }
+    *n_evict_out = n_evict;
+    return n_load;
+  }
+
+  int64_t size() const { return (int64_t)map_.size(); }
+
+ private:
+  void pin_stamp_resize(int64_t s) {
+    if ((int64_t)pin_.size() < cap_) pin_.resize(cap_, 0);
+    pin_[s] = stamp_;
+  }
+
+  void Unlink(int64_t s) {
+    if (prev_[s] >= 0) next_[prev_[s]] = next_[s];
+    if (next_[s] >= 0) prev_[next_[s]] = prev_[s];
+    if (head_ == s) head_ = next_[s];
+    if (tail_ == s) tail_ = prev_[s];
+    prev_[s] = next_[s] = -1;
+  }
+
+  void PushFront(int64_t s) {
+    prev_[s] = -1;
+    next_[s] = head_;
+    if (head_ >= 0) prev_[head_] = s;
+    head_ = s;
+    if (tail_ < 0) tail_ = s;
+  }
+
+  void Touch(int64_t s) {
+    Unlink(s);
+    PushFront(s);
+  }
+
+  int64_t EvictLru() {
+    int64_t s = tail_;
+    while (s >= 0 && (int64_t)pin_.size() == cap_ && pin_[s] == stamp_)
+      s = prev_[s];
+    if (s < 0) return -1;
+    Unlink(s);
+    return s;
+  }
+
+  int64_t cap_;
+  int64_t head_ = -1, tail_ = -1;
+  int64_t stamp_ = 0;
+  std::unordered_map<int64_t, int64_t> map_;
+  std::vector<int64_t> prev_, next_, slot_key_;
+  std::vector<int64_t> pin_;
+  std::vector<int64_t> free_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lru_create(int64_t capacity) { return new LruCache(capacity); }
+void lru_destroy(void* h) { delete static_cast<LruCache*>(h); }
+int64_t lru_size(void* h) { return static_cast<LruCache*>(h)->size(); }
+
+int64_t lru_lookup(void* h, const int64_t* ids, int64_t n, int64_t* slots,
+                   int64_t* load_ids, int64_t* load_slots, int64_t* evict_ids,
+                   int64_t* evict_slots, int64_t* n_evict_out) {
+  return static_cast<LruCache*>(h)->Lookup(ids, n, slots, load_ids, load_slots,
+                                           evict_ids, evict_slots, n_evict_out);
+}
+
+}  // extern "C"

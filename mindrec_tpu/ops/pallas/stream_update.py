@@ -50,18 +50,28 @@ def _round_up(x, m):
 
 def _combine_chunks(ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo,
                     tile, chunk, dim, dtype):
-    """Accumulate (G, cnt) for one tile by looping gradient chunks."""
+    """Accumulate (G, cnt) for one tile by looping gradient chunks.
 
-    nchunk = (end - start + chunk - 1) // chunk
+    The window start is rounded DOWN to a chunk boundary: Mosaic requires
+    dynamic DMA offsets to be provably tile-aligned, and over-fetching is
+    free correctness-wise — the one-hot compare discards ids outside
+    [lo, lo+tile).
+    """
+
+    s0 = (start // chunk) * chunk
+    nchunk = (end - s0 + chunk - 1) // chunk
 
     def body(k, carry):
         G, cnt = carry
-        s = start + k * chunk
+        s = pl.multiple_of(s0 + k * chunk, chunk)
+        # grads are passed TRANSPOSED (D, N): Mosaic requires lane-dim
+        # (minor) DMA slices to be 128-aligned, so the sliced axis must
+        # be the N axis and it must sit minor-most.
         id_dma = pltpu.make_async_copy(
-            ids_ref.at[0, pl.ds(s, chunk)], idbuf.at[0, :], sems.at[0]
+            ids_ref.at[:, pl.ds(s, chunk)], idbuf, sems.at[0]
         )
         gr_dma = pltpu.make_async_copy(
-            grads_ref.at[pl.ds(s, chunk), :], gradbuf, sems.at[1]
+            grads_ref.at[:, pl.ds(s, chunk)], gradbuf, sems.at[1]
         )
         id_dma.start()
         gr_dma.start()
@@ -70,8 +80,12 @@ def _combine_chunks(ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo,
         ids_c = idbuf[0, :]  # [chunk] i32
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0) + lo
         P = (rows == ids_c[None, :]).astype(dtype)
-        G = G + jnp.dot(
-            P, gradbuf[:, :].astype(dtype), preferred_element_type=jnp.float32
+        # G[T, D] = contract_C( P[T, C], gradT[D, C] )
+        G = G + jax.lax.dot_general(
+            P,
+            gradbuf[:, :].astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         cnt = cnt + jnp.sum(P.astype(jnp.float32), axis=1, keepdims=True)
         return G, cnt
@@ -148,7 +162,10 @@ def streamed_adam_rows(
     ids_p = jnp.concatenate(
         [ids_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
     ).reshape(1, -1)
-    grads_p = jnp.concatenate([grads, jnp.zeros((pad, D), grads.dtype)], axis=0)
+    # transposed (D, N+pad) layout — see _combine_chunks
+    grads_p = jnp.concatenate(
+        [grads.T, jnp.zeros((D, pad), grads.dtype)], axis=1
+    )
     boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
     starts = jnp.searchsorted(ids_sorted, boundaries).astype(jnp.int32)
     lr_arr = jnp.asarray([lr_t], jnp.float32)
@@ -171,7 +188,7 @@ def streamed_adam_rows(
         ],
         scratch_shapes=[
             pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((chunk, D), grads.dtype),
+            pltpu.VMEM((D, chunk), grads.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -252,7 +269,10 @@ def streamed_ftrl_rows(
     ids_p = jnp.concatenate(
         [ids_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
     ).reshape(1, -1)
-    grads_p = jnp.concatenate([grads, jnp.zeros((pad, D), grads.dtype)], axis=0)
+    # transposed (D, N+pad) layout — see _combine_chunks
+    grads_p = jnp.concatenate(
+        [grads.T, jnp.zeros((D, pad), grads.dtype)], axis=1
+    )
     boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
     starts = jnp.searchsorted(ids_sorted, boundaries).astype(jnp.int32)
 
@@ -273,7 +293,7 @@ def streamed_ftrl_rows(
         ],
         scratch_shapes=[
             pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((chunk, D), grads.dtype),
+            pltpu.VMEM((D, chunk), grads.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
