@@ -79,15 +79,24 @@ def _combine_chunks(ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo,
         gr_dma.wait()
         ids_c = idbuf[0, :]  # [chunk] i32
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0) + lo
-        P = (rows == ids_c[None, :]).astype(dtype)
-        # G[T, D] = contract_C( P[T, C], gradT[D, C] )
-        G = G + jax.lax.dot_general(
-            P,
-            gradbuf[:, :].astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        cnt = cnt + jnp.sum(P.astype(jnp.float32), axis=1, keepdims=True)
+        eq = rows == ids_c[None, :]
+        if dim == 1:
+            # Mosaic's matmul path chokes on 1-lane outputs; a VPU
+            # multiply-reduce is also simply faster at D=1
+            P32 = eq.astype(jnp.float32)
+            g = gradbuf[0, :].astype(jnp.float32)
+            G = G + jnp.sum(P32 * g[None, :], axis=1, keepdims=True)
+            cnt = cnt + jnp.sum(P32, axis=1, keepdims=True)
+        else:
+            P = eq.astype(dtype)
+            # G[T, D] = contract_C( P[T, C], gradT[D, C] )
+            G = G + jax.lax.dot_general(
+                P,
+                gradbuf[:, :].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cnt = cnt + jnp.sum(eq.astype(jnp.float32), axis=1, keepdims=True)
         return G, cnt
 
     G0 = jnp.zeros((tile, dim), jnp.float32)
@@ -205,6 +214,9 @@ def streamed_adam_rows(
             jax.ShapeDtypeStruct((V, D), m.dtype),
             jax.ShapeDtypeStruct((V, D), v.dtype),
         ],
+        # in-place: table/m/v buffers are reused for the outputs (indices
+        # count pallas_call operands including the scalar-prefetch arg)
+        input_output_aliases={3: 0, 4: 1, 5: 2},
         interpret=interpret or INTERPRET,
     )(starts, ids_p, grads_p, table, m, v, lr_arr)
 
@@ -310,5 +322,6 @@ def streamed_ftrl_rows(
             jax.ShapeDtypeStruct((V, D), accum.dtype),
             jax.ShapeDtypeStruct((V, D), linear.dtype),
         ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
         interpret=interpret or INTERPRET,
     )(starts, ids_p, grads_p, table, accum, linear)

@@ -102,6 +102,13 @@ def init_train_state(model, key, opt_w: Optimizer, opt_d: Optimizer) -> TrainSta
 # ---------------------------------------------------------------------------
 
 
+def _pick_tile(V: int) -> int | None:
+    for cand in (2048, 1024, 512, 256, 128):
+        if V % cand == 0:
+            return cand
+    return None
+
+
 def _streamed_table_update(opt: Optimizer, grads, sorted_ids, leaf_state, table):
     """Dispatch a row-sparse optimizer update to the scatter-free Pallas
     streaming kernels (ops/pallas/stream_update.py).  Falls back to the
@@ -111,11 +118,7 @@ def _streamed_table_update(opt: Optimizer, grads, sorted_ids, leaf_state, table)
     from mindrec_tpu.ops.pallas import stream_update as su
 
     V = table.shape[0]
-    tile = None
-    for cand in (2048, 1024, 512, 256, 128):
-        if V % cand == 0:
-            tile = cand
-            break
+    tile = _pick_tile(V)
     h = opt.hyper
     if opt.kind == "sgd":
         # linear update: scatter-add handles duplicate ids exactly
@@ -158,6 +161,7 @@ def make_train_step(
     donate: bool = True,
     jit: bool = True,
     use_pallas: bool | None = None,
+    check_overflow: bool = False,
 ):
     """Build ``step(state, batch) -> (state, (loss_w, loss_d))``.
 
@@ -223,16 +227,35 @@ def make_train_step(
         params, opt_w_state, opt_d_state = apply_updates(
             state.params, grads, state.opt_w, state.opt_d
         )
-        return (
-            TrainState(params, opt_w_state, opt_d_state, state.step + 1, rng),
-            (loss_w, loss_d),
-        )
+        new_state = TrainState(params, opt_w_state, opt_d_state, state.step + 1, rng)
+        if check_overflow:
+            new_state = _guard(_grads_finite(grads), new_state, state)
+        return new_state, (loss_w, loss_d)
 
     def get_table(p, path):
         node = p
         for h in path:
             node = node[h]
         return node
+
+    def _grads_finite(*trees):
+        """Scalar bool: every gradient element is finite (loss-scale
+        overflow check, reference ``rec_model.py:234-240`` semantics)."""
+        leaves = [l for t in trees for l in jax.tree.leaves(t)]
+        oks = [jnp.all(jnp.isfinite(l)) for l in leaves]
+        out = oks[0]
+        for o in oks[1:]:
+            out = jnp.logical_and(out, o)
+        return out
+
+    def _guard(finite, new_state: TrainState, old_state: TrainState):
+        """On overflow: keep params/opt state, still advance step+rng."""
+        picked = jax.lax.cond(
+            finite,
+            lambda: (new_state.params, new_state.opt_w, new_state.opt_d),
+            lambda: (old_state.params, old_state.opt_w, old_state.opt_d),
+        )
+        return TrainState(*picked, new_state.step, new_state.rng)
 
     def sparse_step(state: TrainState, batch):
         """Row-sparse step, two backends sharing one forward:
@@ -250,14 +273,41 @@ def make_train_step(
         rng, sub = jax.random.split(state.rng)
         params = state.params
         ids = batch["ids"]
-        n_pos = int(ids.shape[0]) * int(ids.shape[1])
+        B, F = int(ids.shape[0]), int(ids.shape[1])
+        n_pos = B * F
 
-        rows = {
-            name: get_table(params, path)[ids]
-            for name, (path, _) in table_specs.items()
-        }
+        if use_pallas:
+            # sort once; gather via the streaming kernel (sorted order);
+            # un-permute with a small-array gather.  Keeping the XLA
+            # native gather off the tables avoids V-sized layout copies
+            # (see ops/pallas/stream_gather.py).
+            from mindrec_tpu.ops.pallas.stream_gather import streamed_gather
 
-        def loss_fn(params, rows):
+            sorted_ids, perm = jax.lax.sort_key_val(
+                ids.reshape(-1), jnp.arange(n_pos, dtype=jnp.int32)
+            )
+            inv = jax.lax.sort_key_val(perm, jnp.arange(n_pos, dtype=jnp.int32))[1]
+            rows_in = {}
+            for name, (path, spec) in table_specs.items():
+                table = get_table(params, path)
+                tl = _pick_tile(table.shape[0])
+                rows_in[name] = streamed_gather(table, sorted_ids, tile=tl)
+
+            def reorder(r):
+                return r[inv].reshape(B, F, r.shape[-1])
+
+        else:
+            sorted_ids = perm = None
+            rows_in = {
+                name: get_table(params, path)[ids]
+                for name, (path, _) in table_specs.items()
+            }
+
+            def reorder(r):
+                return r
+
+        def loss_fn(params, rows_in):
+            rows = {name: reorder(r) for name, r in rows_in.items()}
             logits = model.apply_rows(
                 params, rows, batch["wts"], train=True, rng=sub
             )
@@ -266,7 +316,7 @@ def make_train_step(
 
         (grads, row_grads), (loss_w, loss_d) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(params, rows)
+        )(params, rows_in)
 
         # dense params (table grads are all-zero & skipped -> DCE'd by XLA)
         params2, opt_w_state, opt_d_state = apply_updates(
@@ -274,11 +324,10 @@ def make_train_step(
         )
 
         if use_pallas:
-            sorted_ids, perm = jax.lax.sort_key_val(
-                ids.reshape(-1), jnp.arange(n_pos, dtype=jnp.int32)
-            )
+            # row grads come back aligned to rows_in, i.e. already in
+            # sorted order — no permute needed
             upd = {
-                name: (sorted_ids, row_grads[name].reshape(n_pos, -1)[perm])
+                name: (sorted_ids, row_grads[name].reshape(n_pos, -1))
                 for name in table_specs
             }
         else:
@@ -311,15 +360,76 @@ def make_train_step(
                 opt_d_state = {**opt_d_state, key: new_sub}
             params2 = _set_table(params2, path, new_table)
 
-        return (
-            TrainState(params2, opt_w_state, opt_d_state, state.step + 1, rng),
-            (loss_w, loss_d),
-        )
+        new_state = TrainState(params2, opt_w_state, opt_d_state, state.step + 1, rng)
+        if check_overflow:
+            new_state = _guard(_grads_finite(grads, row_grads), new_state, state)
+        return new_state, (loss_w, loss_d)
 
     step = sparse_step if sparse else dense_step
     if jit:
-        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        if sparse and use_pallas:
+            step = _jit_with_pinned_table_layouts(step, donate)
+        else:
+            step = jax.jit(step, donate_argnums=(0,) if donate else ())
     return step
+
+
+_LAYOUT_PIN_MIN_ROWS = 100_000
+
+
+def _jit_with_pinned_table_layouts(step_fn, donate: bool):
+    """jit the step with big (>=100k-row) 2-D state leaves pinned to
+    row-major (0,1)/T(8,128) layouts.
+
+    XLA TPU's *default* layout for narrow [V, D<128] arrays puts the long
+    dimension minor-most ({0,1} transposed), while the Pallas kernels
+    require row-major {1,0}; left alone, the layout solver bridges the
+    two with V-sized transpose copies on every step (measured 3.5 GB of
+    temps at vocab=1M and an OOM at 5.86M — pinning brings temps to
+    0.47 GB and removes all V-sized copies).
+
+    Formats depend on the concrete state structure, so the jit is built
+    lazily on first call; callers should pass state created by
+    :func:`init_train_state` (plain layouts) — the first call relayouts
+    once, after which donation keeps everything in the pinned layout.
+    """
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    cache: dict = {}
+
+    def pinned(state, batch):
+        key = "k"
+        if key not in cache:
+            sds = SingleDeviceSharding(jax.devices()[0])
+
+            def fmt(x):
+                if (
+                    getattr(x, "ndim", 0) == 2
+                    and x.shape[0] >= _LAYOUT_PIN_MIN_ROWS
+                ):
+                    return Format(Layout((0, 1), tiling=((8, 128),)), sds)
+                return None
+
+            state_fmt = jax.tree.map(fmt, state, is_leaf=lambda v: v is None)
+            batch_fmt = jax.tree.map(fmt, batch)
+            scal = None
+            out_fmt = (state_fmt, (scal, scal))
+            try:
+                cache[key] = jax.jit(
+                    step_fn,
+                    donate_argnums=(0,) if donate else (),
+                    in_shardings=(state_fmt, batch_fmt),
+                    out_shardings=out_fmt,
+                )
+            except Exception:
+                # layout pinning unavailable (e.g. CPU backend tests)
+                cache[key] = jax.jit(
+                    step_fn, donate_argnums=(0,) if donate else ()
+                )
+        return cache[key](state, batch)
+
+    return pinned
 
 
 def make_eval_step(model, jit: bool = True):
