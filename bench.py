@@ -73,14 +73,18 @@ def main():
         for s in range(8)
     ]
 
+    # NB: jax.block_until_ready is a no-op through the axon tunnel
+    # (async dispatch); fetching a scalar that depends on the last step
+    # is the only reliable fence.  Steps chain on `state`, so one fetch
+    # fences the whole window.
     for i in range(args.warmup):
         state, losses = step(state, batches[i % len(batches)])
-    jax.block_until_ready(state)
+    float(losses[1])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, losses = step(state, batches[i % len(batches)])
-    jax.block_until_ready(state)
+    float(losses[1])
     dt = time.perf_counter() - t0
 
     samples_per_s = args.steps * cfg.batch_size / dt

@@ -52,7 +52,21 @@ def _init_rows(key, shape, method: str, init_args) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class EmbeddingTableSpec:
-    """Static description of one embedding table and its placement regime."""
+    """Static description of one embedding table and its placement regime.
+
+    Storage convention (TPU-first): *sparse* tables are stored
+    **feature-major** ``[R*emb_dim, padded_vocab // R]`` where ``R`` is
+    the :attr:`fold` factor.  Rationale: XLA TPU pads the minor dim of a
+    row-major ``[V, D<128]`` array to 128 lanes (8x memory for D=16,
+    128x for D=1 — an OOM at the reference's 5.86M-row benchmark vocab);
+    feature-major puts the huge vocab axis minor-most so padding is
+    negligible, and it is the layout XLA itself prefers for narrow
+    arrays, so no relayout copies appear around the Pallas streamed
+    kernels.  ``fold`` packs R=8/emb_dim logical rows per storage column
+    for skinny tables (the wide ``[V, 1]`` table) so the 8-sublane
+    physical minimum isn't wasted: logical row ``i`` lives at
+    ``storage[(i % R) * D : (i % R + 1) * D, i // R]``.
+    """
 
     vocab_size: int
     emb_dim: int
@@ -65,16 +79,19 @@ class EmbeddingTableSpec:
     init_args: tuple = (-0.01, 0.01)
     max_norm: Optional[float] = None
 
-    # 1024 keeps tables divisible by any mesh axis AND by the streamed
-    # Pallas kernels' tile sizes (powers of two up to 2048)
-    row_alignment: int = 1024
+    # 8192 keeps tables divisible by any mesh axis and by the streamed
+    # Pallas kernels' tile sizes even after the fold divides the vocab
+    # axis by up to 8
+    row_alignment: int = 8192
 
     @property
     def padded_vocab(self) -> int:
-        """Physical row count: +1 dummy row for padded/sentinel ids, then
-        rounded up to ``row_alignment`` so the table divides evenly over
-        any mesh axis (sharding) and tiles cleanly."""
-        n = self.vocab_size + 1
+        """Logical row count: +1 dummy row for padded/sentinel ids, +7
+        spare so the LAST storage column never contains a trainable id
+        (the generic sparse path uses it as its unique-padding fill
+        target), then rounded up to ``row_alignment`` so the table
+        divides evenly over any mesh axis (sharding) and tiles cleanly."""
+        n = self.vocab_size + 8
         a = self.row_alignment
         return (n + a - 1) // a * a
 
@@ -82,11 +99,41 @@ class EmbeddingTableSpec:
     def dummy_id(self) -> int:
         return self.vocab_size
 
+    @property
+    def feature_major(self) -> bool:
+        return self.sparse
+
+    @property
+    def fold(self) -> int:
+        """R logical rows per storage column (8 for scalar tables)."""
+        if not self.feature_major:
+            return 1
+        return 8 if self.emb_dim == 1 else 1
+
+    @property
+    def padded_dim(self) -> int:
+        """Storage sublane count: emb_dim rounded up to the 8-sublane
+        physical minimum (padding sublanes are zero and sliced away on
+        gather; zero grads keep them zero under ftrl/adam/sgd)."""
+        if not self.feature_major:
+            return self.emb_dim
+        return max(8, (self.emb_dim + 7) // 8 * 8) if self.fold == 1 else 8
+
+    @property
+    def storage_shape(self) -> tuple[int, int]:
+        if self.feature_major:
+            return (self.padded_dim, self.padded_vocab // self.fold)
+        return (self.padded_vocab, self.emb_dim)
+
     def partition_spec(self) -> P:
+        # feature-major storage flips the axes: vocab is dim 1
+        row, col = ("model", None)
+        if self.feature_major:
+            row, col = col, row
         if self.slice_mode == "table_row_slice":
-            return P("model", None)
+            return P(row, col)
         if self.slice_mode == "table_column_slice":
-            return P(None, "model")
+            return P(col, row)
         if self.slice_mode == "none":
             return P(None, None)
         raise ValueError(f"unknown slice_mode: {self.slice_mode}")
@@ -109,24 +156,103 @@ class EmbeddingLookup:
 
     def init(self, key) -> jnp.ndarray:
         spec = self.spec
-        table = _init_rows(
+        # draw in LOGICAL [padded_vocab, emb_dim] shape so dense and
+        # sparse (feature-major) inits of the same spec are bit-identical
+        logical = _init_rows(
             key, (spec.padded_vocab, spec.emb_dim), spec.init, spec.init_args
         )
         # dummy + alignment-padding rows are zeros so accidental reads
         # contribute nothing
-        table = table.at[spec.dummy_id :].set(0.0)
+        logical = logical.at[spec.dummy_id :].set(0.0)
+        table = to_storage(spec, logical)
         if self.mesh is not None and spec.slice_mode != "none":
             table = jax.device_put(table, spec.sharding(self.mesh))
         return table
 
     def __call__(self, table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         """Gather rows; ids of any shape -> ``ids.shape + [emb_dim]``."""
-        out = jnp.take(table, ids, axis=0)
+        spec = self.spec
+        if spec.feature_major:
+            r, d = spec.fold, spec.emb_dim
+            flat = ids.reshape(-1)
+            cols = flat // r if r > 1 else flat
+            g = jnp.take(table, cols, axis=1)[: r * d]  # drop sublane padding
+            g = g.T.reshape(ids.shape + (r, d))
+            if r > 1:
+                sub = (flat % r).reshape(ids.shape)
+                out = jnp.take_along_axis(g, sub[..., None, None], axis=-2)
+                out = out[..., 0, :]
+            else:
+                out = g[..., 0, :]
+        else:
+            out = jnp.take(table, ids, axis=0)
         if self.spec.max_norm is not None:
             norms = jnp.linalg.norm(out, axis=-1, keepdims=True)
             scale = jnp.minimum(1.0, self.spec.max_norm / jnp.maximum(norms, 1e-12))
             out = out * scale
         return out
+
+
+# ---------------------------------------------------------------------------
+# storage-convention helpers: logical-row access over either layout
+# ---------------------------------------------------------------------------
+
+
+def to_storage(spec: EmbeddingTableSpec, logical: jnp.ndarray) -> jnp.ndarray:
+    """[padded_vocab, emb_dim] logical table -> storage layout."""
+    if not spec.feature_major:
+        return logical
+    r, d, dp = spec.fold, spec.emb_dim, spec.padded_dim
+    vc = spec.padded_vocab // r
+    if r > 1:
+        return logical.reshape(vc, r * d).T  # fold: col c sub i = row c*r+i
+    t = logical.T  # [D, Vp]
+    if dp > d:
+        t = jnp.concatenate([t, jnp.zeros((dp - d, t.shape[1]), t.dtype)])
+    return t
+
+
+def from_storage(spec: EmbeddingTableSpec, storage) -> np.ndarray:
+    """Storage layout -> logical [padded_vocab, emb_dim] (host-side)."""
+    arr = np.asarray(storage)
+    if not spec.feature_major:
+        return arr
+    r, d = spec.fold, spec.emb_dim
+    if r > 1:
+        return arr.T.reshape(spec.padded_vocab, d)
+    return arr[:d].T
+
+
+def read_rows(spec: EmbeddingTableSpec, storage, ids) -> np.ndarray:
+    """Logical rows ``[len(ids), emb_dim]`` from a table in either
+    storage convention (host-side, numpy)."""
+    arr = np.asarray(storage)
+    ids = np.asarray(ids).reshape(-1)
+    if not spec.feature_major:
+        return arr[ids]
+    r, d = spec.fold, spec.emb_dim
+    dp, vc = arr.shape
+    if r == 1:
+        return arr[:d, ids].T
+    return arr.reshape(r, d, vc)[ids % r, :, ids // r]
+
+
+def write_rows(spec: EmbeddingTableSpec, storage, ids, rows):
+    """Set logical rows; returns the updated jax array."""
+    import jax.numpy as _jnp
+
+    ids = np.asarray(ids).reshape(-1)
+    rows = np.asarray(rows).reshape(len(ids), spec.emb_dim)
+    if not spec.feature_major:
+        return _jnp.asarray(storage).at[_jnp.asarray(ids)].set(_jnp.asarray(rows))
+    r, d = spec.fold, spec.emb_dim
+    arr = np.array(storage)  # host copy; row writes are rare (evict/import)
+    dp, vc = arr.shape
+    if r == 1:
+        arr[:d, ids] = rows.T
+    else:
+        arr.reshape(r, d, vc)[ids % r, :, ids // r] = rows
+    return _jnp.asarray(arr)
 
 
 class HashEmbeddingLookup:

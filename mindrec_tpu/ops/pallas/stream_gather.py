@@ -1,19 +1,25 @@
 """Streamed embedding gather — scatter/layout-copy-free table reads.
 
-Companion to ``stream_update.py``: XLA's native gather on a big
-``[V, D]`` table not only costs ~18 ns/row, it also makes XLA prefer a
-*transposed* table layout, which conflicts with the row-major layout the
-Pallas update kernels require — the layout solver then inserts V-sized
-transpose copies around every step (measured: 3.5 GB of temps at
-vocab=1M, OOM at 5.86M).  Gathering in Pallas removes the conflict: the
-tables' only consumers are row-major custom calls.
+Companion to ``stream_update.py``: XLA's native gather costs ~15 ns/row
+on TPU (measured 9.6 ms for a 624k-id batch against a [5.86M, 16]
+table), serialized per row.  This kernel instead streams the
+feature-major ``[Dp, Vc]`` table tile by tile at HBM bandwidth; each
+tile computes the output columns whose storage column falls inside it
+with a one-hot MXU matmul:
 
-Contract: ``ids`` sorted ascending (the sparse step sorts (id, pos)
-pairs once per batch); output rows are produced in the same sorted
-order.  The kernel streams the table tile by tile; each tile computes
-its chunk rows with a one-hot MXU matmul and read-modify-writes the
-aligned output window (grid steps execute sequentially on the core, so
-boundary chunks shared by adjacent tiles merge safely).
+    P[t, c]      = (cols_sorted[chunk_c] == i*T + t)
+    mine[Dp, C]  = table_tile[Dp, T] . P[T, C]
+
+and read-modify-writes the aligned output window (grid steps execute
+sequentially on the core, so boundary chunks shared by adjacent tiles
+merge safely).
+
+Contract: ``cols`` sorted ascending (one sort of the raw ids serves all
+tables — ``col = id // fold`` is monotone); the output (Dp, N) is in
+the same sorted order.  For folded tables (fold R > 1) each output
+column carries ALL R logical rows stored in that column; the caller
+masks with the position's fold-sub one-hot (which also makes the
+backward gradient land in the right sublane slice automatically).
 """
 
 from __future__ import annotations
@@ -31,8 +37,8 @@ DEFAULT_TILE = 2048
 DEFAULT_CHUNK = 256
 
 
-def _gather_kernel(starts_ref, ids_ref, table_ref, out_ref, idbuf, rowbuf,
-                   sems, *, tile, chunk, dim, dtype, n_real):
+def _gather_kernel(starts_ref, cols_ref, table_ref, out_ref, colbuf, outbuf,
+                   sems, *, tile, chunk, dp, dtype):
     i = pl.program_id(0)
     start = starts_ref[i]
     end = starts_ref[i + 1]
@@ -43,43 +49,37 @@ def _gather_kernel(starts_ref, ids_ref, table_ref, out_ref, idbuf, rowbuf,
 
     def body(k, _):
         s = pl.multiple_of(s0 + k * chunk, chunk)
-        # output is TRANSPOSED (D, N): lane-dim (minor) DMA slices must be
+        # output is (Dp, N): lane-dim (minor) DMA slices must be
         # 128-aligned, so the sliced axis is the N axis, minor-most
-        id_dma = pltpu.make_async_copy(
-            ids_ref.at[:, pl.ds(s, chunk)], idbuf, sems.at[0]
+        col_dma = pltpu.make_async_copy(
+            cols_ref.at[:, pl.ds(s, chunk)], colbuf, sems.at[0]
         )
         # read-modify-write: fetch the current output window first
         out_dma_in = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(s, chunk)], rowbuf, sems.at[1]
+            out_ref.at[:, pl.ds(s, chunk)], outbuf, sems.at[1]
         )
-        id_dma.start()
+        col_dma.start()
         out_dma_in.start()
-        id_dma.wait()
+        col_dma.wait()
         out_dma_in.wait()
 
-        ids_c = idbuf[0, :]  # [chunk]
+        cols_c = colbuf[0, :]  # [chunk]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0) + lo
-        eq = rows == ids_c[None, :]
+        eq = rows == cols_c[None, :]  # [T, C]
         # 32-bit intermediate: Mosaic can't minor-dim-expand i1 vectors
         owned_f = jnp.max(eq.astype(jnp.float32), axis=0)  # [chunk]
-        if dim == 1:
-            P32 = eq.astype(jnp.float32)
-            mine = jnp.sum(
-                P32 * table_ref[:, 0:1].astype(jnp.float32), axis=0
-            )[None, :]  # (1, C)
-        else:
-            # mine[D, C] = contract_T( tile[T, D], P[T, C] )
-            P = eq.astype(dtype)
-            mine = jax.lax.dot_general(
-                table_ref[:, :].astype(dtype),
-                P,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        merged = jnp.where(owned_f[None, :] > 0.0, mine, rowbuf[:, :])
-        rowbuf[:, :] = merged
+        P = eq.astype(dtype)
+        # mine[Dp, C] = contract_T( table[Dp, T], P[T, C] )
+        mine = jax.lax.dot_general(
+            table_ref[:, :].astype(dtype),
+            P,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        merged = jnp.where(owned_f[None, :] > 0.0, mine, outbuf[:, :])
+        outbuf[:, :] = merged
         out_dma_out = pltpu.make_async_copy(
-            rowbuf, out_ref.at[:, pl.ds(s, chunk)], sems.at[1]
+            outbuf, out_ref.at[:, pl.ds(s, chunk)], sems.at[1]
         )
         out_dma_out.start()
         out_dma_out.wait()
@@ -90,51 +90,53 @@ def _gather_kernel(starts_ref, ids_ref, table_ref, out_ref, idbuf, rowbuf,
 
 def streamed_gather(
     table: jnp.ndarray,
-    ids_sorted: jnp.ndarray,
+    cols_sorted: jnp.ndarray,
     *,
     tile: int = DEFAULT_TILE,
     chunk: int = DEFAULT_CHUNK,
     matmul_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """rows[j] = table[ids_sorted[j]] for sorted ids, as a streaming pass.
+    """out[:, j] = table[:, cols_sorted[j]] as a streaming pass.
 
-    Returns [N, D] f32 (bf16 matmul path rounds values to bf16 when
-    ``matmul_dtype`` is bf16 and D > 1; pass float32 for exactness).
+    Args:
+      table: [Dp, Vc] f32 feature-major storage (Vc % tile == 0).
+      cols_sorted: [N] i32 ascending storage columns.
+    Returns (Dp, N) f32 (bf16 matmul rounds values to bf16 when
+    ``matmul_dtype`` is bf16; pass float32 for exactness).
     """
-    V, D = table.shape
-    N = ids_sorted.shape[0]
-    assert V % tile == 0, (V, tile)
-    ntiles = V // tile
+    dp, Vc = table.shape
+    N = cols_sorted.shape[0]
+    assert Vc % tile == 0, (Vc, tile)
+    ntiles = Vc // tile
     pad = chunk
-    ids_p = jnp.concatenate(
-        [ids_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
+    cols_p = jnp.concatenate(
+        [cols_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
     ).reshape(1, -1)
     boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
-    starts = jnp.searchsorted(ids_sorted, boundaries).astype(jnp.int32)
+    starts = jnp.searchsorted(cols_sorted, boundaries).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # ids (1, N+pad)
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),  # table tile
+            pl.BlockSpec(memory_space=pl.ANY),  # cols (1, N+pad)
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # table tile
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # rows (D, N+pad) HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out (Dp, N+pad) HBM
         scratch_shapes=[
             pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((D, chunk), jnp.float32),
+            pltpu.VMEM((dp, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _gather_kernel,
-        tile=tile, chunk=chunk, dim=D, dtype=matmul_dtype, n_real=N,
+        _gather_kernel, tile=tile, chunk=chunk, dp=dp, dtype=matmul_dtype,
     )
-    out_t = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, N + pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dp, N + pad), jnp.float32),
         interpret=interpret or _su.INTERPRET,
-    )(starts, ids_p, table)
-    return out_t[:, :N].T
+    )(starts, cols_p, table)
+    return out[:, :N]

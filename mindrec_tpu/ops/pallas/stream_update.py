@@ -1,107 +1,138 @@
-"""Streamed row-sparse optimizer updates — the scatter-free hot path.
+"""Streamed column-sparse optimizer updates — the scatter-free hot path.
 
 Motivation (measured on v5e): XLA's TPU scatter applies 624k row
-updates to a [5.86M, 16] table in ~69 ms (per-row serialization), and
+updates to a 5.86M-row table in ~69-79 ms (per-row serialization), and
 the reference's sparse-optimizer step needs SIX of those (table + 2
 state arrays x 2 optimizers).  These kernels replace every scatter with
-a *full-table streaming pass*: the table (and its row-aligned optimizer
-state) is pumped HBM->VMEM->HBM in tiles at memory bandwidth
-(375 MB tables stream in ~0.5 ms), and each tile combines its slice of
-the batch gradient with a one-hot matmul on the MXU:
+a *full-table streaming pass*: the table (and its aligned optimizer
+state) is pumped HBM->VMEM->HBM in tiles at memory bandwidth, and each
+tile combines its slice of the batch gradient with a one-hot matmul on
+the MXU.
 
-    P[t, c]   = (ids_sorted[chunk_c] == tile_lo + t)      # VPU compare
-    G_tile   += P @ grad_chunk                             # MXU
-    cnt_tile += P @ 1
-    # then a fully-vectorized masked FTRL/Adam update on [T, D]
+Storage is **feature-major** ``[Dp, Vc]`` (see
+``ops/embedding.py:EmbeddingTableSpec``): the vocab axis is minor-most
+(lanes), features live on sublanes.  This is the layout XLA itself
+prefers for narrow tables, so no relayout copies appear between the
+kernels and the rest of the jitted step — and no lane padding blows up
+memory (a row-major [5.86M, 16] table padded to 128 lanes costs 3 GB;
+feature-major costs its logical 375 MB).
 
-Requirements: ``ids`` sorted ascending (jnp.unique output order) with
-sentinel padding at the tail; ``grads`` row-aligned with ``ids``;
-``starts[i] = searchsorted(ids, i*T)`` computed by the caller (cheap).
-Duplicate ids are allowed — P sums their gradients into one row, which
+Per tile i covering storage columns [i*T, (i+1)*T):
+
+    P[t, c]    = (cols_sorted[chunk_c] == i*T + t)        # VPU compare
+    GA[Dp+8,T] = grads_aug[Dp+8, C] . P^T                 # MXU
+    G, touch   = GA[:Dp], GA[Dp:]                          # split
+    # then a fully-vectorized masked FTRL/Adam update on [Dp, T]
+
+``grads_aug`` carries 8 extra *touch-indicator* rows: row ``Dp + r`` is
+1 where the position's fold-sub-row is ``r`` (row 0 = all-ones when the
+table is unfolded).  The same one-hot matmul that combines gradients
+therefore also produces an exact per-logical-row touch count — the mask
+for lazy (touched-rows-only) update semantics, correct even when
+several logical rows share a storage column.
+
+Requirements: ``cols`` sorted ascending (one host/device sort of the
+raw ids serves every table: ``col = id // fold`` is monotone); grads
+aligned with cols; duplicates allowed — P sums their gradients, which
 matches the reference's unique-then-apply sparse optimizer semantics
 (``mindspore_rec/ops/embedding.py:189-195``,
-``wide_and_deep.py:415-430``).
+``models/wide_deep/src/wide_and_deep.py:415-430``).
 
-LazyAdam semantics hold exactly: untouched rows (cnt == 0) keep their
-moments; bias correction uses the global step (passed in as lr_t).
+LazyAdam semantics hold exactly: untouched logical rows (touch == 0)
+keep their moments; bias correction uses the global step (passed in as
+lr_t).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 2048  # table rows per streamed tile
-DEFAULT_CHUNK = 256  # gradient rows combined per inner step
+DEFAULT_TILE = 2048  # storage columns per streamed tile
+DEFAULT_CHUNK = 256  # gradient columns combined per inner step
+AUG = 8  # touch-indicator rows appended to the gradient (sublane unit)
 
 # Global interpret-mode override (tests set True to run the kernels on the
 # CPU backend; pl.pallas_call(interpret=...) ORs with this).
 INTERPRET = False
 
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
+def make_aug_grads(grads_t: jnp.ndarray, sub: jnp.ndarray | None) -> jnp.ndarray:
+    """[Dp, N] grads -> [Dp+8, N] grads with touch-indicator rows.
+
+    ``sub``: per-position fold sub-row (``id % fold``), or None for an
+    unfolded table (indicator row 0 = 1 everywhere).
+    """
+    dp, n = grads_t.shape
+    if sub is None:
+        touch = jnp.concatenate(
+            [jnp.ones((1, n), grads_t.dtype), jnp.zeros((AUG - 1, n), grads_t.dtype)]
+        )
+    else:
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (AUG, n), 0)
+        touch = (r_idx == sub[None, :]).astype(grads_t.dtype)
+    return jnp.concatenate([grads_t, touch])
 
 
-def _combine_chunks(ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo,
-                    tile, chunk, dim, dtype):
-    """Accumulate (G, cnt) for one tile by looping gradient chunks.
+def _expand_touch(touch, dim: int, fold: int):
+    """[8, T] touch rows -> [Dp, T] per-element mask.
+
+    fold == 1: row 0 broadcasts over all Dp sublanes.
+    fold  > 1: logical row r owns storage sublanes [r*dim, (r+1)*dim);
+    with dim == 1 (the only folded case used) the touch rows align 1:1.
+    """
+    if fold == 1:
+        return touch[0:1, :] > 0.0
+    if dim == 1:
+        return touch[:fold, :] > 0.0
+    raise NotImplementedError("fold > 1 requires emb_dim == 1")
+
+
+def _combine_chunks(cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo,
+                    tile, chunk, dp, dtype):
+    """Accumulate GA = [grads; touch] . P^T for one tile by looping
+    gradient chunks.
 
     The window start is rounded DOWN to a chunk boundary: Mosaic requires
     dynamic DMA offsets to be provably tile-aligned, and over-fetching is
-    free correctness-wise — the one-hot compare discards ids outside
+    free correctness-wise — the one-hot compare discards cols outside
     [lo, lo+tile).
     """
 
     s0 = (start // chunk) * chunk
     nchunk = (end - s0 + chunk - 1) // chunk
 
-    def body(k, carry):
-        G, cnt = carry
+    def body(k, ga):
         s = pl.multiple_of(s0 + k * chunk, chunk)
-        # grads are passed TRANSPOSED (D, N): Mosaic requires lane-dim
-        # (minor) DMA slices to be 128-aligned, so the sliced axis must
-        # be the N axis and it must sit minor-most.
-        id_dma = pltpu.make_async_copy(
-            ids_ref.at[:, pl.ds(s, chunk)], idbuf, sems.at[0]
+        # both operands are (rows, N): the sliced axis is minor-most so
+        # dynamic DMA lane offsets stay 128-aligned
+        col_dma = pltpu.make_async_copy(
+            cols_ref.at[:, pl.ds(s, chunk)], colbuf, sems.at[0]
         )
         gr_dma = pltpu.make_async_copy(
             grads_ref.at[:, pl.ds(s, chunk)], gradbuf, sems.at[1]
         )
-        id_dma.start()
+        col_dma.start()
         gr_dma.start()
-        id_dma.wait()
+        col_dma.wait()
         gr_dma.wait()
-        ids_c = idbuf[0, :]  # [chunk] i32
+        cols_c = colbuf[0, :]  # [chunk] i32
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0) + lo
-        eq = rows == ids_c[None, :]
-        if dim == 1:
-            # Mosaic's matmul path chokes on 1-lane outputs; a VPU
-            # multiply-reduce is also simply faster at D=1
-            P32 = eq.astype(jnp.float32)
-            g = gradbuf[0, :].astype(jnp.float32)
-            G = G + jnp.sum(P32 * g[None, :], axis=1, keepdims=True)
-            cnt = cnt + jnp.sum(P32, axis=1, keepdims=True)
-        else:
-            P = eq.astype(dtype)
-            # G[T, D] = contract_C( P[T, C], gradT[D, C] )
-            G = G + jax.lax.dot_general(
-                P,
-                gradbuf[:, :].astype(dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            cnt = cnt + jnp.sum(eq.astype(jnp.float32), axis=1, keepdims=True)
-        return G, cnt
+        P = (rows == cols_c[None, :]).astype(dtype)  # [T, C]
+        # GA[Dp+8, T] += contract_C( grads_aug[Dp+8, C], P[T, C] )
+        return ga + jax.lax.dot_general(
+            gradbuf[:, :].astype(dtype),
+            P,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    G0 = jnp.zeros((tile, dim), jnp.float32)
-    c0 = jnp.zeros((tile, 1), jnp.float32)
-    return jax.lax.fori_loop(0, nchunk, body, (G0, c0))
+    ga0 = jnp.zeros((dp + AUG, tile), jnp.float32)
+    return jax.lax.fori_loop(0, nchunk, body, ga0)
 
 
 # ---------------------------------------------------------------------------
@@ -109,20 +140,20 @@ def _combine_chunks(ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo,
 # ---------------------------------------------------------------------------
 
 
-def _adam_kernel(starts_ref, ids_ref, grads_ref, table_ref, m_ref, v_ref,
-                 scal_ref, table_out, m_out, v_out, idbuf, gradbuf, sems, *,
-                 tile, chunk, dim, dtype, b1, b2, eps, inv_scale):
+def _adam_kernel(starts_ref, cols_ref, grads_ref, table_ref, m_ref, v_ref,
+                 scal_ref, table_out, m_out, v_out, colbuf, gradbuf, sems, *,
+                 tile, chunk, dp, dim, fold, dtype, b1, b2, eps, inv_scale):
     i = pl.program_id(0)
     start = starts_ref[i]
     end = starts_ref[i + 1]
     lo = i * tile
 
-    G, cnt = _combine_chunks(
-        ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo, tile, chunk,
-        dim, dtype,
+    ga = _combine_chunks(
+        cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo, tile,
+        chunk, dp, dtype,
     )
-    G = G * inv_scale
-    mask = cnt > 0.0
+    G = ga[:dp, :] * inv_scale
+    mask = _expand_touch(ga[dp:, :], dim, fold)
     lr_t = scal_ref[0]
 
     m_old = m_ref[:, :]
@@ -135,14 +166,31 @@ def _adam_kernel(starts_ref, ids_ref, grads_ref, table_ref, m_ref, v_ref,
     table_out[:, :] = jnp.where(mask, table_ref[:, :] - upd, table_ref[:, :])
 
 
-def streamed_adam_rows(
+def _prep(cols_sorted, grads_aug, V_cols, tile, chunk):
+    """Shared operand prep: sentinel-pad, compute per-tile windows."""
+    ntiles = V_cols // tile
+    pad = chunk
+    cols_p = jnp.concatenate(
+        [cols_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
+    ).reshape(1, -1)
+    grads_p = jnp.concatenate(
+        [grads_aug, jnp.zeros((grads_aug.shape[0], pad), grads_aug.dtype)], axis=1
+    )
+    boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
+    starts = jnp.searchsorted(cols_sorted, boundaries).astype(jnp.int32)
+    return cols_p, grads_p, starts, ntiles
+
+
+def streamed_adam_cols(
     table: jnp.ndarray,
     m: jnp.ndarray,
     v: jnp.ndarray,
-    ids_sorted: jnp.ndarray,
-    grads: jnp.ndarray,
+    cols_sorted: jnp.ndarray,
+    grads_aug: jnp.ndarray,
     lr_t,
     *,
+    dim: int,
+    fold: int = 1,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -155,70 +203,58 @@ def streamed_adam_rows(
     """One LazyAdam step over the touched rows, scatter-free.
 
     Args:
-      table/m/v: [V, D] f32 (V a multiple of ``tile`` ideally; padded
-        otherwise by the caller via the table spec's row alignment).
-      ids_sorted: [N] i32 ascending; sentinel-padded tail allowed.
-      grads: [N, D] f32 aligned with ids (duplicates get summed).
+      table/m/v: [Dp, Vc] f32 feature-major storage (Vc % tile == 0).
+      cols_sorted: [N] i32 ascending storage columns; sentinel tail ok.
+      grads_aug: [Dp+8, N] f32 — masked grads + touch rows
+        (:func:`make_aug_grads`); duplicates get summed.
       lr_t: scalar bias-corrected learning rate for this step.
     Returns: (table', m', v').
     """
-    V, D = table.shape
-    N = ids_sorted.shape[0]
-    assert V % tile == 0, (V, tile)
-    ntiles = V // tile
-    # pad ids with an id that can never match (V rounded up) and grads with 0
-    pad = chunk
-    ids_p = jnp.concatenate(
-        [ids_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
-    ).reshape(1, -1)
-    # transposed (D, N+pad) layout — see _combine_chunks
-    grads_p = jnp.concatenate(
-        [grads.T, jnp.zeros((D, pad), grads.dtype)], axis=1
-    )
-    boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
-    starts = jnp.searchsorted(ids_sorted, boundaries).astype(jnp.int32)
+    dp, Vc = table.shape
+    assert Vc % tile == 0, (Vc, tile)
+    cols_p, grads_p, starts, ntiles = _prep(cols_sorted, grads_aug, Vc, tile, chunk)
     lr_arr = jnp.asarray([lr_t], jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # ids (1, N+pad)
-            pl.BlockSpec(memory_space=pl.ANY),  # grads (N+pad, D)
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),  # table
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),  # m
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),  # v
+            pl.BlockSpec(memory_space=pl.ANY),  # cols (1, N+pad)
+            pl.BlockSpec(memory_space=pl.ANY),  # grads_aug (Dp+8, N+pad)
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # table
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # m
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # v
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lr_t (1,)
         ],
         out_specs=[
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((D, chunk), grads.dtype),
+            pltpu.VMEM((dp + AUG, chunk), grads_aug.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _adam_kernel,
-        tile=tile, chunk=chunk, dim=D, dtype=matmul_dtype,
+        tile=tile, chunk=chunk, dp=dp, dim=dim, fold=fold, dtype=matmul_dtype,
         b1=b1, b2=b2, eps=eps, inv_scale=1.0 / loss_scale,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((V, D), table.dtype),
-            jax.ShapeDtypeStruct((V, D), m.dtype),
-            jax.ShapeDtypeStruct((V, D), v.dtype),
+            jax.ShapeDtypeStruct((dp, Vc), table.dtype),
+            jax.ShapeDtypeStruct((dp, Vc), m.dtype),
+            jax.ShapeDtypeStruct((dp, Vc), v.dtype),
         ],
         # in-place: table/m/v buffers are reused for the outputs (indices
         # count pallas_call operands including the scalar-prefetch arg)
         input_output_aliases={3: 0, 4: 1, 5: 2},
         interpret=interpret or INTERPRET,
-    )(starts, ids_p, grads_p, table, m, v, lr_arr)
+    )(starts, cols_p, grads_p, table, m, v, lr_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -226,20 +262,20 @@ def streamed_adam_rows(
 # ---------------------------------------------------------------------------
 
 
-def _ftrl_kernel(starts_ref, ids_ref, grads_ref, table_ref, acc_ref, lin_ref,
-                 table_out, acc_out, lin_out, idbuf, gradbuf, sems, *,
-                 tile, chunk, dim, dtype, lr, l1, l2, inv_scale):
+def _ftrl_kernel(starts_ref, cols_ref, grads_ref, table_ref, acc_ref, lin_ref,
+                 table_out, acc_out, lin_out, colbuf, gradbuf, sems, *,
+                 tile, chunk, dp, dim, fold, dtype, lr, l1, l2, inv_scale):
     i = pl.program_id(0)
     start = starts_ref[i]
     end = starts_ref[i + 1]
     lo = i * tile
 
-    G, cnt = _combine_chunks(
-        ids_ref, grads_ref, idbuf, gradbuf, sems, start, end, lo, tile, chunk,
-        dim, dtype,
+    ga = _combine_chunks(
+        cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo, tile,
+        chunk, dp, dtype,
     )
-    G = G * inv_scale
-    mask = cnt > 0.0
+    G = ga[:dp, :] * inv_scale
+    mask = _expand_touch(ga[dp:, :], dim, fold)
 
     w = table_ref[:, :]
     acc = acc_ref[:, :]
@@ -256,13 +292,15 @@ def _ftrl_kernel(starts_ref, ids_ref, grads_ref, table_ref, acc_ref, lin_ref,
     lin_out[:, :] = jnp.where(mask, lin_new, lin)
 
 
-def streamed_ftrl_rows(
+def streamed_ftrl_cols(
     table: jnp.ndarray,
     accum: jnp.ndarray,
     linear: jnp.ndarray,
-    ids_sorted: jnp.ndarray,
-    grads: jnp.ndarray,
+    cols_sorted: jnp.ndarray,
+    grads_aug: jnp.ndarray,
     *,
+    dim: int,
+    fold: int = 1,
     learning_rate: float = 5e-2,
     l1: float = 1e-8,
     l2: float = 1e-8,
@@ -273,20 +311,10 @@ def streamed_ftrl_rows(
     interpret: bool = False,
 ):
     """One FTRL-proximal step over the touched rows, scatter-free.
-    Same contract as :func:`streamed_adam_rows` (lr_power fixed -0.5)."""
-    V, D = table.shape
-    assert V % tile == 0, (V, tile)
-    ntiles = V // tile
-    pad = chunk
-    ids_p = jnp.concatenate(
-        [ids_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
-    ).reshape(1, -1)
-    # transposed (D, N+pad) layout — see _combine_chunks
-    grads_p = jnp.concatenate(
-        [grads.T, jnp.zeros((D, pad), grads.dtype)], axis=1
-    )
-    boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
-    starts = jnp.searchsorted(ids_sorted, boundaries).astype(jnp.int32)
+    Same contract as :func:`streamed_adam_cols` (lr_power fixed -0.5)."""
+    dp, Vc = table.shape
+    assert Vc % tile == 0, (Vc, tile)
+    cols_p, grads_p, starts, ntiles = _prep(cols_sorted, grads_aug, Vc, tile, chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -294,34 +322,34 @@ def streamed_ftrl_rows(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
-            pl.BlockSpec((tile, D), lambda i, s: (i, 0)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((D, chunk), grads.dtype),
+            pltpu.VMEM((dp + AUG, chunk), grads_aug.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _ftrl_kernel,
-        tile=tile, chunk=chunk, dim=D, dtype=matmul_dtype,
+        tile=tile, chunk=chunk, dp=dp, dim=dim, fold=fold, dtype=matmul_dtype,
         lr=learning_rate, l1=l1, l2=l2, inv_scale=1.0 / loss_scale,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((V, D), table.dtype),
-            jax.ShapeDtypeStruct((V, D), accum.dtype),
-            jax.ShapeDtypeStruct((V, D), linear.dtype),
+            jax.ShapeDtypeStruct((dp, Vc), table.dtype),
+            jax.ShapeDtypeStruct((dp, Vc), accum.dtype),
+            jax.ShapeDtypeStruct((dp, Vc), linear.dtype),
         ],
         input_output_aliases={3: 0, 4: 1, 5: 2},
         interpret=interpret or INTERPRET,
-    )(starts, ids_p, grads_p, table, accum, linear)
+    )(starts, cols_p, grads_p, table, accum, linear)

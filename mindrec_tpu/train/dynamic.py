@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mindrec_tpu.native.hashstore import HashStore
+from mindrec_tpu.ops.embedding import read_rows, write_rows
 
 
 class DynamicEmbeddingAdapter:
@@ -61,75 +62,78 @@ class DynamicEmbeddingAdapter:
         out["ids"] = slots.reshape(ids.shape).astype(np.int32)
         return out
 
-    def evict(self, state, table_paths: list[tuple]) -> tuple:
+    def evict(self, state, tables) -> tuple:
         """Erase expired keys; reset freed arena rows (params re-init,
-        optimizer state zeroed).  Returns (state, n_evicted)."""
+        optimizer state zeroed).  Returns (state, n_evicted).
+
+        ``tables``: the model's ``table_specs`` dict
+        (``{name: (path, EmbeddingTableSpec)}``) or a list of
+        ``(path, spec)`` pairs — the spec carries the storage convention
+        (feature-major / fold) of each table.
+        """
+        tables = _norm_tables(tables)
         freed = self.store.evict()
         if freed.size == 0:
             return state, 0
-        freed_j = jnp.asarray(freed.astype(np.int32))
-        params = _deep_mutate(state.params, table_paths, freed_j, self._rng)
-        opt_w = {k: (_reset_state_rows(v, freed_j) if _is_table_key(k, table_paths) else v)
-                 for k, v in state.opt_w.items()}
-        opt_d = {k: (_reset_state_rows(v, freed_j) if _is_table_key(k, table_paths) else v)
-                 for k, v in state.opt_d.items()}
+        params = state.params
+        opt_w = dict(state.opt_w)
+        opt_d = dict(state.opt_d)
+        for path, spec in tables:
+            key = "/".join(map(str, path))
+            node = _get(params, path)
+            fresh = self._rng.normal(0, 0.01, (freed.size, spec.emb_dim)).astype(np.float32)
+            params = _set(params, path, write_rows(spec, node, freed, fresh))
+            zeros = np.zeros((freed.size, spec.emb_dim), np.float32)
+            for opt_state in (opt_w, opt_d):
+                if key in opt_state:
+                    opt_state[key] = {
+                        k: (write_rows(spec, v, freed, zeros)
+                            if getattr(v, "shape", None) == node.shape else v)
+                        for k, v in opt_state[key].items()
+                    }
         return state._replace(params=params, opt_w=opt_w, opt_d=opt_d), freed.size
 
     # -- incremental checkpoint ---------------------------------------
 
-    def export_tables(self, params, table_paths: list[tuple]) -> dict:
-        """{path_str: (keys, rows)} for all live (admitted) features."""
+    def export_tables(self, params, tables) -> dict:
+        """{path_str: rows [n_live, emb_dim]} for all admitted keys."""
+        tables = _norm_tables(tables)
         keys, slots = self.store.items()
         out = {"__keys__": keys}
-        for path in table_paths:
-            node = params
-            for p in path:
-                node = node[p]
-            out["/".join(map(str, path))] = np.asarray(node)[slots]
+        for path, spec in tables:
+            out["/".join(map(str, path))] = read_rows(spec, _get(params, path), slots)
         return out
 
-    def import_tables(self, params, blob: dict, table_paths: list[tuple]):
+    def import_tables(self, params, blob: dict, tables):
+        tables = _norm_tables(tables)
         keys = blob["__keys__"]
         slots = self.store.lookup_or_insert(keys, force=True)
         ok = slots >= 0
-        sj = jnp.asarray(slots[ok].astype(np.int32))
-        for path in table_paths:
-            node = params
-            for p in path[:-1]:
-                node = node[p]
+        for path, spec in tables:
             key = "/".join(map(str, path))
-            rows = jnp.asarray(blob[key][ok])
-            node[path[-1]] = node[path[-1]].at[sj].set(rows)
+            node = _get(params, path)
+            params = _set(
+                params, path, write_rows(spec, node, slots[ok], blob[key][ok])
+            )
         return params
 
 
-def _is_table_key(key: str, table_paths) -> bool:
-    return any(key == "/".join(map(str, p)) for p in table_paths)
+def _norm_tables(tables):
+    if isinstance(tables, dict):
+        return list(tables.values())
+    return list(tables)
 
 
-def _reset_state_rows(leaf_state, freed_j):
-    def reset(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] > int(freed_j.max() if freed_j.size else -1):
-            return x.at[freed_j].set(0.0)
-        return x
-
-    return jax.tree.map(reset, leaf_state)
+def _get(params, path):
+    node = params
+    for p in path:
+        node = node[p]
+    return node
 
 
-def _deep_mutate(params, table_paths, freed_j, rng):
-    """Functionally reset table rows at freed slots."""
-
-    def visit(node, path_rest):
-        if not path_rest:
-            fresh = jnp.asarray(
-                rng.normal(0, 0.01, (freed_j.shape[0], node.shape[1])).astype(np.float32)
-            )
-            return node.at[freed_j].set(fresh)
-        head = path_rest[0]
-        out = dict(node)
-        out[head] = visit(node[head], path_rest[1:])
-        return out
-
-    for path in table_paths:
-        params = visit(params, list(path))
-    return params
+def _set(params, path, value):
+    if not path:
+        return value
+    out = dict(params)
+    out[path[0]] = _set(params[path[0]], path[1:], value)
+    return out

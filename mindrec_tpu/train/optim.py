@@ -46,6 +46,11 @@ class Optimizer:
     init_leaf: Callable[[jnp.ndarray], Any]
     update_leaf: Callable[..., tuple[jnp.ndarray, Any]]
     update_rows: Callable[..., tuple[jnp.ndarray, Any]]
+    # column-sparse update on feature-major [Dp, Vc] storage:
+    # update_cols(grad_cols [Dp, U], col_ids [U], touch_mask [Dp, U] bool,
+    #             state, table) -> (table', state').  Untouched elements
+    # (mask False) keep param AND state — lazy semantics.
+    update_cols: Callable[..., tuple[jnp.ndarray, Any]] = None
     kind: str = "custom"
     hyper: dict = dataclasses.field(default_factory=dict)
 
@@ -123,8 +128,21 @@ def ftrl(
             },
         )
 
+    def update_cols(grad_cols, col_ids, touch, state, table):
+        a_old = state["accum"][:, col_ids]
+        l_old = state["linear"][:, col_ids]
+        w_old = table[:, col_ids]
+        w_new, a_new, l_new = _step(grad_cols, a_old, l_old, w_old)
+        return (
+            table.at[:, col_ids].set(jnp.where(touch, w_new, w_old)),
+            {
+                "accum": state["accum"].at[:, col_ids].set(jnp.where(touch, a_new, a_old)),
+                "linear": state["linear"].at[:, col_ids].set(jnp.where(touch, l_new, l_old)),
+            },
+        )
+
     return Optimizer(
-        init_leaf, update_leaf, update_rows,
+        init_leaf, update_leaf, update_rows, update_cols,
         kind="ftrl",
         hyper={
             "learning_rate": learning_rate, "l1": l1, "l2": l2,
@@ -196,8 +214,23 @@ def adam(
             },
         )
 
+    def update_cols(grad_cols, col_ids, touch, state, table):
+        step = state["step"] + 1
+        m_old = state["m"][:, col_ids]
+        v_old = state["v"][:, col_ids]
+        p_old = table[:, col_ids]
+        p_new, m_new, v_new = _step_fn(grad_cols, m_old, v_old, p_old, _lr_t(step))
+        return (
+            table.at[:, col_ids].set(jnp.where(touch, p_new, p_old)),
+            {
+                "m": state["m"].at[:, col_ids].set(jnp.where(touch, m_new, m_old)),
+                "v": state["v"].at[:, col_ids].set(jnp.where(touch, v_new, v_old)),
+                "step": step,
+            },
+        )
+
     return Optimizer(
-        init_leaf, update_leaf, update_rows,
+        init_leaf, update_leaf, update_rows, update_cols,
         kind="adam",
         hyper={
             "learning_rate": learning_rate, "b1": b1, "b2": b2, "eps": eps,
@@ -233,8 +266,14 @@ def sgd(learning_rate: float = 1e-2, loss_scale: float = 1.0) -> Optimizer:
         new = rows - learning_rate * grad_rows.astype(jnp.float32) * inv_scale
         return table.at[row_ids].set(new.astype(table.dtype)), state
 
+    def update_cols(grad_cols, col_ids, touch, state, table):
+        old = table[:, col_ids].astype(jnp.float32)
+        new = old - learning_rate * grad_cols.astype(jnp.float32) * inv_scale
+        new = jnp.where(touch, new, old)
+        return table.at[:, col_ids].set(new.astype(table.dtype)), state
+
     return Optimizer(
-        init_leaf, update_leaf, update_rows,
+        init_leaf, update_leaf, update_rows, update_cols,
         kind="sgd",
         hyper={"learning_rate": learning_rate, "loss_scale": loss_scale},
     )

@@ -102,33 +102,77 @@ def init_train_state(model, key, opt_w: Optimizer, opt_d: Optimizer) -> TrainSta
 # ---------------------------------------------------------------------------
 
 
-def _pick_tile(V: int) -> int | None:
+def _pick_tile(Vc: int) -> int | None:
     for cand in (2048, 1024, 512, 256, 128):
-        if V % cand == 0:
+        if Vc % cand == 0:
             return cand
     return None
 
 
-def _streamed_table_update(opt: Optimizer, grads, sorted_ids, leaf_state, table):
-    """Dispatch a row-sparse optimizer update to the scatter-free Pallas
-    streaming kernels (ops/pallas/stream_update.py).  Falls back to the
-    generic gather/scatter path for unknown optimizer kinds."""
-    import jax.numpy as jnp
+def _fold_mask(dp: int, dim: int, sub: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[Dp, N] one-hot: element (p, n) is 1 iff sublane p belongs to the
+    fold-sub-row ``sub[n]`` (logical row r owns sublanes [r*dim, (r+1)*dim))."""
+    p_row = jax.lax.broadcasted_iota(jnp.int32, (dp, sub.shape[0]), 0) // dim
+    return (p_row == sub[None, :]).astype(dtype)
 
+
+def _expand_touch_jnp(touch, dp: int, dim: int, fold: int):
+    """Generic-backend version of the kernels' touch expansion:
+    [U, 8] touch columns -> [U, Dp] bool mask (note: row-major here)."""
+    if fold == 1:
+        return jnp.broadcast_to(touch[:, 0:1] > 0.0, (touch.shape[0], dp))
+    if dim == 1:
+        return touch[:, :fold] > 0.0
+    raise NotImplementedError("fold > 1 requires emb_dim == 1")
+
+
+@jax.custom_vjp
+def _permute_rows(x, fwd_idx, bwd_idx):
+    """x[fwd_idx] with a gather (not scatter) backward: the two index
+    vectors are inverse permutations, so ct[bwd_idx] == scatter(ct, fwd_idx).
+    XLA TPU's scatter serializes per row (~80 ms for a 624k-row batch);
+    this keeps both directions on the (also slow, but 8x less so) gather
+    path until the Pallas permute kernel lands."""
+    return x[fwd_idx]
+
+
+def _permute_rows_fwd(x, fwd_idx, bwd_idx):
+    return x[fwd_idx], (fwd_idx, bwd_idx)
+
+
+def _permute_rows_bwd(res, ct):
+    fwd_idx, bwd_idx = res
+    return ct[bwd_idx], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def _streamed_table_update(opt: Optimizer, grads_aug, cols_sorted, leaf_state,
+                           table, spec, matmul_dtype=None):
+    """Dispatch a column-sparse optimizer update to the scatter-free Pallas
+    streaming kernels (ops/pallas/stream_update.py).
+
+    ``grads_aug``: [Dp+8, N] touch-augmented gradients in sorted order
+    (see ``stream_update.make_aug_grads``); ``cols_sorted``: [N] i32."""
     from mindrec_tpu.ops.pallas import stream_update as su
 
-    V = table.shape[0]
-    tile = _pick_tile(V)
+    Vc = table.shape[1]
+    tile = _pick_tile(Vc)
     h = opt.hyper
-    if opt.kind == "sgd":
-        # linear update: scatter-add handles duplicate ids exactly
-        delta = -h["learning_rate"] * grads.astype(jnp.float32) / h["loss_scale"]
-        return table.at[sorted_ids].add(delta.astype(table.dtype)), leaf_state
-    if tile is None or opt.kind not in ("adam", "ftrl"):
+    if tile is None or opt.kind not in ("adam", "ftrl", "sgd"):
         raise ValueError(
-            f"streamed update unavailable (kind={opt.kind}, rows={V}); "
-            "tables must be row-aligned to 128 and use ftrl/adam/sgd"
+            f"streamed update unavailable (kind={opt.kind}, cols={Vc}); "
+            "tables must be column-aligned to 128 and use ftrl/adam/sgd"
         )
+    if opt.kind == "sgd":
+        # tests-only path: scatter-add handles duplicate cols exactly and
+        # the fold mask is already applied inside grads_aug
+        delta = (
+            -h["learning_rate"] / h["loss_scale"]
+            * grads_aug[: table.shape[0]].astype(jnp.float32)
+        )
+        return table.at[:, cols_sorted].add(delta.astype(table.dtype)), leaf_state
     if opt.kind == "adam":
         step = leaf_state["step"] + 1
         s = step.astype(jnp.float32)
@@ -137,17 +181,19 @@ def _streamed_table_update(opt: Optimizer, grads, sorted_ids, leaf_state, table)
             * jnp.sqrt(1.0 - jnp.power(h["b2"], s))
             / (1.0 - jnp.power(h["b1"], s))
         )
-        t2, m2, v2 = su.streamed_adam_rows(
-            table, leaf_state["m"], leaf_state["v"], sorted_ids, grads, lr_t,
+        t2, m2, v2 = su.streamed_adam_cols(
+            table, leaf_state["m"], leaf_state["v"], cols_sorted, grads_aug,
+            lr_t, dim=spec.emb_dim, fold=spec.fold,
             b1=h["b1"], b2=h["b2"], eps=h["eps"], loss_scale=h["loss_scale"],
-            tile=tile,
+            tile=tile, matmul_dtype=matmul_dtype,
         )
         return t2, {"m": m2, "v": v2, "step": step}
     # ftrl (lr_power fixed -0.5, the reference default)
-    t2, a2, l2 = su.streamed_ftrl_rows(
-        table, leaf_state["accum"], leaf_state["linear"], sorted_ids, grads,
+    t2, a2, l2 = su.streamed_ftrl_cols(
+        table, leaf_state["accum"], leaf_state["linear"], cols_sorted,
+        grads_aug, dim=spec.emb_dim, fold=spec.fold,
         learning_rate=h["learning_rate"], l1=h["l1"], l2=h["l2"],
-        loss_scale=h["loss_scale"], tile=tile,
+        loss_scale=h["loss_scale"], tile=tile, matmul_dtype=matmul_dtype,
     )
     return t2, {"accum": a2, "linear": l2}
 
@@ -162,6 +208,7 @@ def make_train_step(
     jit: bool = True,
     use_pallas: bool | None = None,
     check_overflow: bool = False,
+    matmul_dtype=None,
 ):
     """Build ``step(state, batch) -> (state, (loss_w, loss_d))``.
 
@@ -182,6 +229,8 @@ def make_train_step(
         # the streamed kernels target TPU; the generic gather/scatter path
         # is faster to compile (and fine) on CPU test meshes
         use_pallas = jax.default_backend() not in ("cpu",)
+    if matmul_dtype is None:
+        matmul_dtype = jnp.bfloat16
 
     def apply_updates(params, grads, opt_w_state, opt_d_state, skip_keys=()):
         flat_p, treedef = flatten_params(params)
@@ -258,63 +307,104 @@ def make_train_step(
         return TrainState(*picked, new_state.step, new_state.rng)
 
     def sparse_step(state: TrainState, batch):
-        """Row-sparse step, two backends sharing one forward:
+        """Column-sparse step on feature-major [Dp, Vc] tables, two
+        backends sharing one forward:
 
-        Forward gathers rows per position (``table[ids]``, [B,F,D]) and
-        differentiates w.r.t. the gathered rows — so the backward pass is
+        Forward gathers each position's storage column and differentiates
+        w.r.t. the gathered columns — the backward pass into the tables is
         pure elementwise (no scatter into the vocab dimension, ever).
 
-        * pallas backend (TPU): sort (ids, pos) pairs, permute the row
-          grads into sorted order, and run the scatter-free streamed
-          optimizer kernels, which sum duplicate ids on the fly.
-        * generic backend (CPU tests): padded unique + segment-sum the
-          duplicate grads + row-wise gather/scatter optimizer update.
+        * pallas backend (TPU): sort (id, pos) pairs once (or take the
+          host-precomputed ``sorted_ids``/``perm``/``inv`` from the
+          batch), stream-gather in sorted order, un-permute with a
+          custom-vjp gather, and run the scatter-free streamed optimizer
+          kernels, which sum duplicate ids on the fly.
+        * generic backend (CPU tests): native axis-1 gather + padded
+          unique + segment-sum of the touch-augmented grads + column-wise
+          gather/scatter optimizer update.
+
+        One sort serves every table: ``col = id // fold`` is monotone.
         """
-        rng, sub = jax.random.split(state.rng)
+        from mindrec_tpu.ops.pallas.stream_update import make_aug_grads
+
+        rng, sub_rng = jax.random.split(state.rng)
         params = state.params
         ids = batch["ids"]
         B, F = int(ids.shape[0]), int(ids.shape[1])
         n_pos = B * F
+        flat_ids = ids.reshape(-1)
 
         if use_pallas:
-            # sort once; gather via the streaming kernel (sorted order);
-            # un-permute with a small-array gather.  Keeping the XLA
-            # native gather off the tables avoids V-sized layout copies
-            # (see ops/pallas/stream_gather.py).
             from mindrec_tpu.ops.pallas.stream_gather import streamed_gather
 
-            sorted_ids, perm = jax.lax.sort_key_val(
-                ids.reshape(-1), jnp.arange(n_pos, dtype=jnp.int32)
-            )
-            inv = jax.lax.sort_key_val(perm, jnp.arange(n_pos, dtype=jnp.int32))[1]
+            if "sorted_ids" in batch:
+                # host-precomputed sort (the input pipeline overlaps it
+                # with the previous device step)
+                sorted_ids = batch["sorted_ids"].reshape(-1)
+                perm = batch["perm"].reshape(-1)
+                inv = batch["inv"].reshape(-1)
+            else:
+                iota = jnp.arange(n_pos, dtype=jnp.int32)
+                sorted_ids, perm = jax.lax.sort_key_val(flat_ids, iota)
+                _, inv = jax.lax.sort_key_val(perm, iota)
             rows_in = {}
+            sub_sorted = {}
+            cols_sorted = {}
             for name, (path, spec) in table_specs.items():
                 table = get_table(params, path)
-                tl = _pick_tile(table.shape[0])
-                rows_in[name] = streamed_gather(table, sorted_ids, tile=tl)
+                r = spec.fold
+                cols = sorted_ids // r if r > 1 else sorted_ids
+                cols_sorted[name] = cols
+                sub_sorted[name] = sorted_ids % r if r > 1 else None
+                tl = _pick_tile(table.shape[1])
+                rows_in[name] = streamed_gather(
+                    table, cols, tile=tl, matmul_dtype=matmul_dtype
+                )
 
-            def reorder(r):
-                return r[inv].reshape(B, F, r.shape[-1])
+            def reorder(name, r):
+                # mask folded sub-rows in sorted space (autodiff then
+                # masks the backward grads into the right sublane slice),
+                # un-permute to original position order
+                spec = table_specs[name][1]
+                if spec.fold > 1:
+                    r = r * _fold_mask(
+                        r.shape[0], spec.emb_dim, sub_sorted[name], r.dtype
+                    )
+                else:
+                    r = r[: spec.emb_dim]  # drop sublane padding
+                return _permute_rows(r.T, inv, perm).reshape(B, F, r.shape[0])
 
         else:
-            sorted_ids = perm = None
-            rows_in = {
-                name: get_table(params, path)[ids]
-                for name, (path, _) in table_specs.items()
-            }
+            rows_in = {}
+            sub_flat = {}
+            cols_flat = {}
+            for name, (path, spec) in table_specs.items():
+                table = get_table(params, path)
+                r = spec.fold
+                cols = flat_ids // r if r > 1 else flat_ids
+                cols_flat[name] = cols
+                sub_flat[name] = flat_ids % r if r > 1 else None
+                rows_in[name] = jnp.take(table, cols, axis=1)  # (Dp, N)
 
-            def reorder(r):
-                return r
+            def reorder(name, r):
+                spec = table_specs[name][1]
+                if spec.fold > 1:
+                    r = r * _fold_mask(
+                        r.shape[0], spec.emb_dim, sub_flat[name], r.dtype
+                    )
+                else:
+                    r = r[: spec.emb_dim]  # drop sublane padding
+                return r.T.reshape(B, F, r.shape[0])
 
         def loss_fn(params, rows_in):
-            rows = {name: reorder(r) for name, r in rows_in.items()}
+            rows = {name: reorder(name, r) for name, r in rows_in.items()}
             logits = model.apply_rows(
-                params, rows, batch["wts"], train=True, rng=sub
+                params, rows, batch["wts"], train=True, rng=sub_rng
             )
             loss_w, loss_d = model.loss(params, logits, batch["label"])
             return loss_d * sens, (loss_w, loss_d)
 
-        (grads, row_grads), (loss_w, loss_d) = jax.grad(
+        (grads, col_grads), (loss_w, loss_d) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, rows_in)
 
@@ -323,36 +413,36 @@ def make_train_step(
             params, grads, state.opt_w, state.opt_d, skip_keys=set(table_keys)
         )
 
-        if use_pallas:
-            # row grads come back aligned to rows_in, i.e. already in
-            # sorted order — no permute needed
-            upd = {
-                name: (sorted_ids, row_grads[name].reshape(n_pos, -1))
-                for name in table_specs
-            }
-        else:
-            any_spec = next(iter(table_specs.values()))[1]
-            uq = unique_pad(ids, size=n_pos, fill_value=any_spec.dummy_id)
-            upd = {}
-            for name in table_specs:
-                g = row_grads[name].reshape(n_pos, -1)
-                g_u = jax.ops.segment_sum(
-                    g, uq.inverse.reshape(-1), num_segments=n_pos
-                )
-                upd[name] = (uq.ids, g_u)
-
         for key, (name, path, spec) in table_keys.items():
             table = get_table(params, path)
             opt = opt_w if is_wide_key(key) else opt_d
             opt_state = opt_w_state if is_wide_key(key) else opt_d_state
-            sids, g = upd[name]
+            g = col_grads[name]  # (Dp, N), sorted order on pallas path
             if use_pallas:
+                g_aug = make_aug_grads(g, sub_sorted[name])
                 new_table, new_sub = _streamed_table_update(
-                    opt, g, sids, opt_state[key], table
+                    opt, g_aug, cols_sorted[name], opt_state[key], table, spec,
+                    matmul_dtype=matmul_dtype,
                 )
             else:
-                new_table, new_sub = opt.update_rows(
-                    g, sids, opt_state[key], table
+                g_aug = make_aug_grads(g, sub_flat[name])
+                # fill target = last storage column: guaranteed free of
+                # trainable ids (spec reserves >= 7 spare rows past the
+                # dummy), so the where(touch, new, old) scatter-set of
+                # fill duplicates can never clobber a real update
+                uq = unique_pad(
+                    cols_flat[name], size=n_pos,
+                    fill_value=table.shape[1] - 1,
+                )
+                summed = jax.ops.segment_sum(
+                    g_aug.T, uq.inverse.reshape(-1), num_segments=n_pos
+                )  # [U, Dp+8]
+                dp = table.shape[0]
+                touch = _expand_touch_jnp(
+                    summed[:, dp:], dp, spec.emb_dim, spec.fold
+                )  # [U, Dp] bool
+                new_table, new_sub = opt.update_cols(
+                    summed[:, :dp].T, uq.ids, touch.T, opt_state[key], table
                 )
             if is_wide_key(key):
                 opt_w_state = {**opt_w_state, key: new_sub}
@@ -362,74 +452,33 @@ def make_train_step(
 
         new_state = TrainState(params2, opt_w_state, opt_d_state, state.step + 1, rng)
         if check_overflow:
-            new_state = _guard(_grads_finite(grads, row_grads), new_state, state)
+            new_state = _guard(_grads_finite(grads, col_grads), new_state, state)
         return new_state, (loss_w, loss_d)
 
     step = sparse_step if sparse else dense_step
     if jit:
-        if sparse and use_pallas:
-            step = _jit_with_pinned_table_layouts(step, donate)
-        else:
-            step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
     return step
 
 
-_LAYOUT_PIN_MIN_ROWS = 100_000
+def make_batch_sort(field_size: int):
+    """Host-side batch prep: attach ``sorted_ids``/``perm``/``inv`` so
+    the jitted sparse step skips its device sorts (~4.7 ms at bs 16000).
+    The input pipeline runs this on CPU, overlapped with the device step."""
+    import numpy as np
 
+    def prep(batch: dict) -> dict:
+        ids = np.asarray(batch["ids"]).reshape(-1)
+        perm = np.argsort(ids, kind="stable").astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size, dtype=np.int32)
+        out = dict(batch)
+        out["sorted_ids"] = ids[perm]
+        out["perm"] = perm
+        out["inv"] = inv
+        return out
 
-def _jit_with_pinned_table_layouts(step_fn, donate: bool):
-    """jit the step with big (>=100k-row) 2-D state leaves pinned to
-    row-major (0,1)/T(8,128) layouts.
-
-    XLA TPU's *default* layout for narrow [V, D<128] arrays puts the long
-    dimension minor-most ({0,1} transposed), while the Pallas kernels
-    require row-major {1,0}; left alone, the layout solver bridges the
-    two with V-sized transpose copies on every step (measured 3.5 GB of
-    temps at vocab=1M and an OOM at 5.86M — pinning brings temps to
-    0.47 GB and removes all V-sized copies).
-
-    Formats depend on the concrete state structure, so the jit is built
-    lazily on first call; callers should pass state created by
-    :func:`init_train_state` (plain layouts) — the first call relayouts
-    once, after which donation keeps everything in the pinned layout.
-    """
-    from jax.experimental.layout import Format, Layout
-    from jax.sharding import SingleDeviceSharding
-
-    cache: dict = {}
-
-    def pinned(state, batch):
-        key = "k"
-        if key not in cache:
-            sds = SingleDeviceSharding(jax.devices()[0])
-
-            def fmt(x):
-                if (
-                    getattr(x, "ndim", 0) == 2
-                    and x.shape[0] >= _LAYOUT_PIN_MIN_ROWS
-                ):
-                    return Format(Layout((0, 1), tiling=((8, 128),)), sds)
-                return None
-
-            state_fmt = jax.tree.map(fmt, state, is_leaf=lambda v: v is None)
-            batch_fmt = jax.tree.map(fmt, batch)
-            scal = None
-            out_fmt = (state_fmt, (scal, scal))
-            try:
-                cache[key] = jax.jit(
-                    step_fn,
-                    donate_argnums=(0,) if donate else (),
-                    in_shardings=(state_fmt, batch_fmt),
-                    out_shardings=out_fmt,
-                )
-            except Exception:
-                # layout pinning unavailable (e.g. CPU backend tests)
-                cache[key] = jax.jit(
-                    step_fn, donate_argnums=(0,) if donate else ()
-                )
-        return cache[key](state, batch)
-
-    return pinned
+    return prep
 
 
 def make_eval_step(model, jit: bool = True):

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
-from mindrec_tpu.ops.embedding import HashEmbeddingLookup
+from mindrec_tpu.ops.embedding import HashEmbeddingLookup, read_rows
 from mindrec_tpu.train import optim
 from mindrec_tpu.train.dynamic import DynamicEmbeddingAdapter
 from mindrec_tpu.train.step import init_train_state, make_train_step
@@ -23,7 +23,8 @@ CFG = WideDeepConfig(
     dynamic_embedding=True,
     loss_scale=1.0,
 )
-TABLE_PATHS = [("wide", "table"), ("deep", "table")]
+# table specs carry the storage convention (feature-major / fold)
+TABLES = WideDeepModel(CFG).table_specs
 
 
 def _raw_batch(seed):
@@ -68,22 +69,23 @@ def test_train_and_evict_resets_rows():
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
     step = make_train_step(model, opt_w, opt_d, jit=True, donate=False, use_pallas=False)
 
+    deep_spec = TABLES["deep"][1]
     raw_a = _raw_batch(10)
     b = ad.transform_batch(raw_a)
     touched = np.unique(b["ids"])
     state, _ = step(state, b)
-    m_before = np.asarray(state.opt_d["deep/table"]["m"])[touched]
+    m_before = read_rows(deep_spec, state.opt_d["deep/table"]["m"], touched)
     assert np.any(m_before != 0)
 
     # step twice with different ids -> ids from raw_a become idle >= 2
     for s in (11, 12):
         b2 = ad.transform_batch(_raw_batch(s))
         state, _ = step(state, b2)
-    state, n = ad.evict(state, TABLE_PATHS)
+    state, n = ad.evict(state, TABLES)
     assert n > 0
     # evicted rows' adam moments are reset
-    m_after = np.asarray(state.opt_d["deep/table"]["m"])
-    freed_rows_zeroed = (m_after[touched] == 0).all(axis=1)
+    m_after = read_rows(deep_spec, state.opt_d["deep/table"]["m"], touched)
+    freed_rows_zeroed = (m_after == 0).all(axis=1)
     assert freed_rows_zeroed.sum() >= 1
 
 
@@ -92,19 +94,19 @@ def test_incremental_export_import_roundtrip():
     model = WideDeepModel(CFG)
     state = init_train_state(model, jax.random.PRNGKey(0), optim.ftrl(), optim.adam())
     b = ad.transform_batch(_raw_batch(5))
-    blob = ad.export_tables(state.params, TABLE_PATHS)
+    blob = ad.export_tables(state.params, TABLES)
     assert blob["__keys__"].size > 0
 
     # import into a fresh adapter + params: rows must land on live keys
     ad2 = DynamicEmbeddingAdapter(capacity=CAP)
     model2 = WideDeepModel(CFG)
     state2 = init_train_state(model2, jax.random.PRNGKey(1), optim.ftrl(), optim.adam())
-    params2 = ad2.import_tables(state2.params, blob, TABLE_PATHS)
+    params2 = ad2.import_tables(state2.params, blob, TABLES)
     # looking up an exported key must return the exported row
     k = blob["__keys__"][0]
     slot = ad2.store.lookup_or_insert(np.array([k]))[0]
     np.testing.assert_allclose(
-        np.asarray(params2["deep"]["table"])[slot],
+        read_rows(TABLES["deep"][1], params2["deep"]["table"], [slot])[0],
         blob["deep/table"][0],
     )
 

@@ -47,8 +47,13 @@ def test_pallas_step_matches_generic():
     s_gen = init_train_state(model, key, opt_w, opt_d)
     s_pal = init_train_state(model, key, opt_w, opt_d)
 
+    import jax.numpy as jnp
+
     step_gen = make_train_step(model, opt_w, opt_d, jit=True, donate=False, use_pallas=False)
-    step_pal = make_train_step(model, opt_w, opt_d, jit=True, donate=False, use_pallas=True)
+    step_pal = make_train_step(
+        model, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+        matmul_dtype=jnp.float32,  # exact parity (prod uses bf16 one-hots)
+    )
 
     for i in range(3):
         b = _batch(seed=i)

@@ -8,6 +8,7 @@ import pytest
 
 from mindrec_tpu.data.criteo import SyntheticCriteo
 from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+from mindrec_tpu.ops.embedding import from_storage
 from mindrec_tpu.train import optim
 from mindrec_tpu.train.metrics import AUCMetric
 from mindrec_tpu.train.step import init_train_state, make_eval_step, make_train_step
@@ -75,10 +76,11 @@ def test_sparse_step_matches_dense_embedding_grads():
     key = jax.random.PRNGKey(7)
     state_dense = init_train_state(dense_model, key, sgd, sgd)
     state_sparse = init_train_state(sparse_model, key, sgd, sgd)
-    # identical init
+    # identical init (sparse tables are stored feature-major; compare in
+    # the logical [V, D] view)
     np.testing.assert_allclose(
         np.asarray(state_dense.params["deep"]["table"]),
-        np.asarray(state_sparse.params["deep"]["table"]),
+        from_storage(sparse_model.deep_spec, state_sparse.params["deep"]["table"]),
     )
 
     b = _batch(cfg, seed=3)
@@ -90,8 +92,15 @@ def test_sparse_step_matches_dense_embedding_grads():
     np.testing.assert_allclose(float(lw_d), float(lw_s), rtol=1e-5)
     # same wide table update (FTRL-free: sgd) — wide has no l2 either way
     np.testing.assert_allclose(
-        np.asarray(sd.params["wide"]["table"])[:-1],
-        np.asarray(ss.params["wide"]["table"])[:-1],
+        np.asarray(sd.params["wide"]["table"])[: cfg.vocab_size],
+        from_storage(sparse_model.wide_spec, ss.params["wide"]["table"])[: cfg.vocab_size],
+        rtol=1e-4,
+        atol=1e-7,
+    )
+    # deep table update parity too (through the fold-free sparse path)
+    np.testing.assert_allclose(
+        np.asarray(sd.params["deep"]["table"])[: cfg.vocab_size],
+        from_storage(sparse_model.deep_spec, ss.params["deep"]["table"])[: cfg.vocab_size],
         rtol=1e-4,
         atol=1e-7,
     )
@@ -145,5 +154,7 @@ def test_dummy_row_stays_zero_in_sparse_training():
     for s in range(5):
         state, _ = step(state, _batch(cfg, seed=s))
     np.testing.assert_allclose(
-        np.asarray(state.params["deep"]["table"])[cfg.vocab_size], 0.0, atol=1e-12
+        from_storage(model.deep_spec, state.params["deep"]["table"])[cfg.vocab_size],
+        0.0,
+        atol=1e-12,
     )
