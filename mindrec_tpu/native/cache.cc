@@ -36,9 +36,17 @@ class LruCache {
   int64_t Lookup(const int64_t* ids, int64_t n, int64_t* slots,
                  int64_t* load_ids, int64_t* load_slots, int64_t* evict_ids,
                  int64_t* evict_slots, int64_t* n_evict_out) {
-    // Pass 1: pin all ids already resident or inserted in this batch so
-    // they can't be chosen as victims mid-batch.
     ++stamp_;
+    // Pass 0: pin every id of this batch that is already resident —
+    // including ones appearing AFTER a miss in the same batch.  Without
+    // this an earlier miss can evict a later batch id, which then
+    // reloads a stale row from the tier and silently loses its training
+    // updates (the reference's known eviction-bug class, RELEASE.md:6).
+    for (int64_t i = 0; i < n; ++i) {
+      auto it = map_.find(ids[i]);
+      if (it != map_.end()) pin_stamp_resize(it->second);
+    }
+    // Pass 1: resolve slots; misses allocate (free list, then unpinned LRU).
     int64_t n_load = 0, n_evict = 0;
     for (int64_t i = 0; i < n; ++i) {
       const int64_t key = ids[i];

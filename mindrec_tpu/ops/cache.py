@@ -72,7 +72,10 @@ class PyLruCache:
         ids = np.asarray(ids, np.int64).reshape(-1)
         slots = np.empty_like(ids)
         load_ids, load_slots, evict_ids, evict_slots = [], [], [], []
-        pinned = set()
+        # pre-pin every resident batch id (even ones after a miss) so a
+        # miss can't evict a later id of the same batch — that reload
+        # would silently lose training updates (cf. cache.cc Pass 0)
+        pinned = {k for k in ids.tolist() if k in self._od}
         for i, k in enumerate(ids.tolist()):
             if k in self._od:
                 self._od.move_to_end(k)
@@ -283,20 +286,39 @@ class CachedEmbeddingTable:
 
     def __init__(self, vocab_size: int, dim: int, cache_rows: int,
                  max_swap: int, ram_bytes: int | None = None,
-                 spill_dir: str | None = None, state_names=(), seed: int = 0):
+                 spill_dir: str | None = None, state_names=(), seed: int = 0,
+                 remote_addrs=None, table_name: str = "emb"):
         self.vocab_size = vocab_size
         self.dim = dim
         self.cache_rows = cache_rows
         self.max_swap = max_swap
         self.lru = LruCache(cache_rows)
-        self.param_tier = HostTier(vocab_size, dim, ram_bytes, spill_dir, seed=seed)
-        self.state_tiers = {
-            name: HostTier(
-                vocab_size, dim, ram_bytes, spill_dir,
-                init_fn=lambda n, d=dim: np.zeros((n, d), np.float32),
+        if remote_addrs:
+            # third hierarchy level: tiers live in table-server processes
+            # (PS-server equivalent; RAM cap + SSD spill are server-side)
+            from mindrec_tpu.ops.remote import RemoteTier
+
+            self.param_tier = RemoteTier(
+                remote_addrs, table_name, dim, init_std=0.01, seed=seed
             )
-            for name in state_names
-        }
+            self.state_tiers = {
+                name: RemoteTier(
+                    remote_addrs, f"{table_name}.{name}", dim,
+                    init_std=0.0, seed=seed,
+                )
+                for name in state_names
+            }
+        else:
+            self.param_tier = HostTier(
+                vocab_size, dim, ram_bytes, spill_dir, seed=seed
+            )
+            self.state_tiers = {
+                name: HostTier(
+                    vocab_size, dim, ram_bytes, spill_dir,
+                    init_fn=lambda n, d=dim: np.zeros((n, d), np.float32),
+                )
+                for name in state_names
+            }
         self.dummy_slot = cache_rows
 
     def init_arena(self, key=None) -> jnp.ndarray:
