@@ -231,34 +231,42 @@ class HostTier:
         return s
 
     def read(self, ids: np.ndarray) -> np.ndarray:
-        """Fetch rows by feature id (lazy-init unseen rows)."""
+        """Fetch rows by feature id (lazy-init unseen rows).
+
+        RAM-resident ids are served with one vectorized fancy-index;
+        only the (rare) uninitialized and SSD rows take the slow path.
+        """
         self._ensure_ram()
         ids = np.asarray(ids, np.int64).reshape(-1)
         out = np.empty((ids.shape[0], self.dim), np.float32)
-        for i, fid in enumerate(ids.tolist()):
-            if fid < self.ram_rows:
-                if not self._ram_init[fid]:
-                    self._ram[fid] = self._init_fn(1)[0]
-                    self._ram_init[fid] = True
-                out[i] = self._ram[fid]
-            else:
-                s = self._ssd_slot(fid, allocate=False)
-                if s < 0:
-                    s = self._ssd_slot(fid, allocate=True)
-                    self._ssd[s] = self._init_fn(1)[0]
-                out[i] = self._ssd[s]
+        in_ram = ids < self.ram_rows
+        ram_ids = ids[in_ram]
+        if ram_ids.size:
+            fresh = ram_ids[~self._ram_init[ram_ids]]
+            if fresh.size:
+                fresh = np.unique(fresh)
+                self._ram[fresh] = self._init_fn(fresh.size)
+                self._ram_init[fresh] = True
+            out[in_ram] = self._ram[ram_ids]
+        for i in np.nonzero(~in_ram)[0]:
+            fid = int(ids[i])
+            s = self._ssd_slot(fid, allocate=False)
+            if s < 0:
+                s = self._ssd_slot(fid, allocate=True)
+                self._ssd[s] = self._init_fn(1)[0]
+            out[i] = self._ssd[s]
         return out
 
     def write(self, ids: np.ndarray, rows: np.ndarray) -> None:
         self._ensure_ram()
         ids = np.asarray(ids, np.int64).reshape(-1)
-        rows = np.asarray(rows, np.float32)
-        for i, fid in enumerate(ids.tolist()):
-            if fid < self.ram_rows:
-                self._ram[fid] = rows[i]
-                self._ram_init[fid] = True
-            else:
-                self._ssd[self._ssd_slot(fid, allocate=True)] = rows[i]
+        rows = np.asarray(rows, np.float32).reshape(ids.shape[0], self.dim)
+        in_ram = ids < self.ram_rows
+        if in_ram.any():
+            self._ram[ids[in_ram]] = rows[in_ram]
+            self._ram_init[ids[in_ram]] = True
+        for i in np.nonzero(~in_ram)[0]:
+            self._ssd[self._ssd_slot(int(ids[i]), allocate=True)] = rows[i]
 
     def flush(self):
         if self._ssd is not None:
