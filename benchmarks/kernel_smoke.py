@@ -11,6 +11,9 @@ Usage: python benchmarks/kernel_smoke.py [sort|gather|permute|adam|ftrl|mlp|all]
 
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -53,14 +56,19 @@ def timeit(name, chained_fn, *args):
 def main(which="all"):
     k = jax.random.PRNGKey(0)
     ids = jax.random.randint(k, (N,), 0, V, jnp.int32)
-    iota = jnp.arange(N, dtype=jnp.int32)
-    sorted_ids, perm = jax.jit(lambda i: jax.lax.sort_key_val(i, iota))(ids)
-    inv = jax.jit(lambda p: jax.lax.sort_key_val(p, iota)[1])(perm)
+
+    def _iota():
+        return jnp.arange(N, dtype=jnp.int32)
+
+    sorted_ids, perm = jax.jit(
+        lambda i: jax.lax.sort_key_val(i, _iota())
+    )(ids)
+    inv = jax.jit(lambda p: jax.lax.sort_key_val(p, _iota())[1])(perm)
 
     if which in ("sort", "all"):
         def chain(n, ids0):
             def body(_, ids):
-                s, p = jax.lax.sort_key_val(ids, iota)
+                s, p = jax.lax.sort_key_val(ids, _iota())
                 return jnp.bitwise_xor(s, p)  # dependence, keeps range-ish
             return jax.lax.fori_loop(0, n, body, ids0)
         timeit("sort_key_val 624k", chain, ids)
