@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--model", default="wide_deep", choices=["wide_deep", "deepfm", "dcn"])
     ap.add_argument("--config", default=str(Path(__file__).parent / "wide_deep_config.yaml"))
     ap.add_argument("--mesh_model", type=int, default=1, help="model-parallel axis size")
+    ap.add_argument("--enable_profiling", action="store_true",
+                    help="jax.profiler trace around training "
+                         "(reference moxing_adapter.py:105-111)")
+    ap.add_argument("--profiler_path", default="./profiler_data")
+    ap.add_argument("--save_graphs", action="store_true",
+                    help="dump StableHLO/optimized HLO of the train step "
+                         "(reference save_graphs=True)")
+    ap.add_argument("--graphs_path", default="./graphs")
     args, rest = ap.parse_known_args()
 
     import jax
@@ -116,7 +124,28 @@ def main():
         TimeMonitor(),
         EvalCallback(rm, make_data(train=False), cfg.eval_file_name),
     ]
-    rm.train(cfg.epochs, make_data(train=True), callbacks=callbacks)
+
+    if args.save_graphs:
+        from mindrec_tpu.utils.profiling import dump_ir
+
+        b0 = next(iter(make_data(train=True)))
+        files = dump_ir(
+            rm.train_step, rm.state, b0, path=args.graphs_path,
+            name="train_step",
+        )
+        print(f"dumped IR: {files}", flush=True)
+
+    profiler = None
+    if args.enable_profiling:
+        from mindrec_tpu.utils.profiling import Profiler
+
+        profiler = Profiler(args.profiler_path)
+    try:
+        rm.train(cfg.epochs, make_data(train=True), callbacks=callbacks)
+    finally:
+        if profiler is not None:
+            profiler.analyse()
+            print(f"profiler trace -> {args.profiler_path}", flush=True)
     metrics = rm.eval(make_data(train=False))
     print(f"final metrics: {metrics}", flush=True)
 

@@ -46,6 +46,7 @@ def save_checkpoint(
     prefix: str = "ckpt",
     keep_max: int | None = None,
     process_index: int | None = None,
+    force_sliced: bool = False,
 ) -> str:
     """Save a pytree state. Returns the written file path."""
     directory = Path(directory)
@@ -56,7 +57,11 @@ def save_checkpoint(
     index = {}
     for key, leaf in flat.items():
         arr = leaf
-        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        sliced = isinstance(arr, jax.Array) and (
+            not arr.is_fully_addressable
+            or (force_sliced and len(arr.sharding.device_set) > 1)
+        )
+        if sliced:
             # save only this process's shards (sliced checkpoint)
             shards = [s for s in arr.addressable_shards]
             for s in shards:
