@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--dense", action="store_true", help="dense-grad path instead of row-sparse")
+    ap.add_argument(
+        "--state-dtype", default="bfloat16", choices=["float32", "bfloat16"],
+        help="Adam m/v moment storage: bf16 cuts the streamed update's HBM "
+        "traffic by a third; arithmetic stays f32 "
+        "(quality gate: tests/test_optim.py::test_adam_bf16_state_tracks_f32)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -59,9 +65,13 @@ def main():
         sparse=not args.dense,
         loss_scale=1024.0,
     )
+    import jax.numpy as _jnp
+
     model = WideDeepModel(cfg)
     opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
-    opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    opt_d = optim.lazy_adam(
+        loss_scale=cfg.loss_scale, state_dtype=getattr(_jnp, args.state_dtype)
+    )
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
     step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
 

@@ -39,6 +39,16 @@ DEFAULT_CHUNK = 256
 
 def _gather_kernel(starts_ref, cols_ref, table_ref, out_ref, colbuf, outbuf,
                    sems, *, tile, chunk, dp, dtype):
+    """Per grid step (= one table tile): double-buffered loop over the
+    tile's gradient chunks.
+
+    The first version of this kernel issued each chunk's DMAs and waited
+    on them inline, exposing the full HBM round-trip per chunk (~1.5 us
+    x 2437 chunks at bs 16000 = most of the kernel's runtime).  Now
+    chunk k+1's column/output DMAs start before chunk k's compute, so
+    the loop only ever waits on copies issued one iteration earlier.
+    ``colbuf``/``outbuf`` are [2, ...] double buffers.
+    """
     i = pl.program_id(0)
     start = starts_ref[i]
     end = starts_ref[i + 1]
@@ -47,23 +57,51 @@ def _gather_kernel(starts_ref, cols_ref, table_ref, out_ref, colbuf, outbuf,
     s0 = (start // chunk) * chunk
     nchunk = (end - s0 + chunk - 1) // chunk
 
-    def body(k, _):
+    def start_copies(k, slot):
         s = pl.multiple_of(s0 + k * chunk, chunk)
         # output is (Dp, N): lane-dim (minor) DMA slices must be
         # 128-aligned, so the sliced axis is the N axis, minor-most
-        col_dma = pltpu.make_async_copy(
-            cols_ref.at[:, pl.ds(s, chunk)], colbuf, sems.at[0]
-        )
-        # read-modify-write: fetch the current output window first
-        out_dma_in = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(s, chunk)], outbuf, sems.at[1]
-        )
-        col_dma.start()
-        out_dma_in.start()
-        col_dma.wait()
-        out_dma_in.wait()
+        pltpu.make_async_copy(
+            cols_ref.at[:, pl.ds(s, chunk)], colbuf.at[slot], sems.at[slot, 0]
+        ).start()
+        # read-modify-write: boundary chunks are shared by adjacent tiles
+        pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(s, chunk)], outbuf.at[slot], sems.at[slot, 1]
+        ).start()
 
-        cols_c = colbuf[0, :]  # [chunk]
+    def wb_copy(k):
+        s = pl.multiple_of(s0 + k * chunk, chunk)
+        slot = jax.lax.rem(k, 2)
+        return pltpu.make_async_copy(
+            outbuf.at[slot], out_ref.at[:, pl.ds(s, chunk)], sems.at[slot, 2]
+        )
+
+    @pl.when(nchunk > 0)
+    def _():
+        start_copies(0, 0)
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        s = pl.multiple_of(s0 + k * chunk, chunk)
+
+        @pl.when(k + 1 < nchunk)
+        def _():
+            # chunk k-1's write-back still owns buffer slot 1-slot;
+            # drain it before the prefetch DMA overwrites that buffer
+            @pl.when(k >= 1)
+            def _():
+                wb_copy(k - 1).wait()
+
+            start_copies(k + 1, 1 - slot)
+
+        pltpu.make_async_copy(
+            cols_ref.at[:, pl.ds(s, chunk)], colbuf.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(s, chunk)], outbuf.at[slot], sems.at[slot, 1]
+        ).wait()
+
+        cols_c = colbuf[slot, 0, :]  # [chunk]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0) + lo
         eq = rows == cols_c[None, :]  # [T, C]
         # 32-bit intermediate: Mosaic can't minor-dim-expand i1 vectors
@@ -76,16 +114,23 @@ def _gather_kernel(starts_ref, cols_ref, table_ref, out_ref, colbuf, outbuf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        merged = jnp.where(owned_f[None, :] > 0.0, mine, outbuf[:, :])
-        outbuf[:, :] = merged
-        out_dma_out = pltpu.make_async_copy(
-            outbuf, out_ref.at[:, pl.ds(s, chunk)], sems.at[1]
-        )
-        out_dma_out.start()
-        out_dma_out.wait()
+        merged = jnp.where(owned_f[None, :] > 0.0, mine, outbuf[slot, :, :])
+        outbuf[slot, :, :] = merged
+        wb_copy(k).start()
         return 0
 
     jax.lax.fori_loop(0, nchunk, body, 0)
+
+    # Drain the last (up to two) write-backs before this grid step ends:
+    # the next tile's first out-window read can alias this tile's last
+    # write-back window (shared boundary chunk).
+    @pl.when(nchunk >= 2)
+    def _():
+        wb_copy(nchunk - 2).wait()
+
+    @pl.when(nchunk >= 1)
+    def _():
+        wb_copy(nchunk - 1).wait()
 
 
 def streamed_gather(
@@ -125,9 +170,9 @@ def streamed_gather(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out (Dp, N+pad) HBM
         scratch_shapes=[
-            pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.VMEM((dp, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, chunk), jnp.int32),  # double-buffered cols
+            pltpu.VMEM((2, dp, chunk), jnp.float32),  # double-buffered out
+            pltpu.SemaphoreType.DMA((2, 3)),  # (slot, {col-in, out-in, wb})
         ],
     )
     kernel = functools.partial(

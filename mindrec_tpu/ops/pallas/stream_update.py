@@ -70,6 +70,13 @@ AUG = 8  # touch-indicator rows appended to the gradient (sublane unit)
 # CPU backend; pl.pallas_call(interpret=...) ORs with this).
 INTERPRET = False
 
+# One-hot build strategy in _combine (sweep knob; factorized is the
+# cheap-VPU hi/lo build, False = direct [T, C] iota-compare).
+FACTORIZED = True
+
+# Sweep knob: drop input_output_aliases (costs HBM, isolates pipeline serialization).
+NO_ALIAS = False
+
 
 def make_aug_grads(grads_t: jnp.ndarray, sub: jnp.ndarray | None) -> jnp.ndarray:
     """[Dp, N] grads -> [Dp+8, N] grads with touch-indicator rows.
@@ -128,7 +135,11 @@ def flat_schedule(cols_sorted, Vc: int, tile: int, chunk: int,
     boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
     starts = jnp.searchsorted(cols_sorted, boundaries).astype(jnp.int32)
     s0 = (starts[:-1] // chunk) * chunk
-    cnt = jnp.maximum((starts[1:] - s0 + chunk - 1) // chunk, 0)
+    cnt = jnp.where(
+        starts[1:] > starts[:-1],
+        (starts[1:] - s0 + chunk - 1) // chunk,
+        0,  # tile owns no ids: skip entirely (rows persist via aliasing)
+    )
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
     total = offs[-1]
 
@@ -174,7 +185,17 @@ def _prep(cols_sorted, grads_aug, Vc, tile, chunk, interpret):
 
 
 def _combine(cols_blk, grads_blk, acc_ref, lo, first, compute, tile, dtype):
-    """acc += grads_aug_chunk . P^T for this grid step."""
+    """acc += grads_aug_chunk . P^T for this grid step.
+
+    The one-hot P[T, C] is never materialized: building it costs a
+    [T, C] iota+compare+cast on the VPU (~2k vreg-ops at T=2048,C=256,
+    the dominant per-step cost of the first version of these kernels).
+    Factorize col == lo + hi*128 + lane instead: one [128, C] lane
+    compare shared by all sub-blocks, then per 128-lane sub-block h a
+    cheap [C] hi-compare masks the gradients and one MXU matmul lands
+    the result directly in acc's lane slice — ~8x less VPU work for
+    identical MXU work.
+    """
 
     @pl.when(first)
     def _():
@@ -183,14 +204,38 @@ def _combine(cols_blk, grads_blk, acc_ref, lo, first, compute, tile, dtype):
     @pl.when(compute)
     def _():
         cols_c = cols_blk[0, :]  # [chunk] i32
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile, cols_c.shape[0]), 0) + lo
-        P = (rows == cols_c[None, :]).astype(dtype)  # [T, C]
-        acc_ref[:, :] += jax.lax.dot_general(
-            grads_blk.astype(dtype),
-            P,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        rel = cols_c - lo
+        if tile % 128 != 0 or not FACTORIZED:
+            # small test tiles / sweep baseline: direct [T, C] one-hot
+            t_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (tile, cols_c.shape[0]), 0
+            )
+            P = (t_iota == rel[None, :]).astype(dtype)
+            acc_ref[:, :] += jax.lax.dot_general(
+                grads_blk.astype(dtype),
+                P,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+        # out-of-tile columns (boundary chunks, sentinel pads): hi lands
+        # outside [0, tile/128) -- negative rel keeps hi negative under
+        # the arithmetic shift -- so the hi mask zeroes them.
+        hi = jax.lax.shift_right_arithmetic(rel, 7)
+        lane = jax.lax.bitwise_and(rel, 127)
+        lane_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (128, cols_c.shape[0]), 0
         )
+        B = (lane_iota == lane[None, :]).astype(dtype)  # [128, C]
+        g = grads_blk
+        for h in range(tile // 128):
+            gh = (g * (hi == h)[None, :].astype(g.dtype)).astype(dtype)
+            acc_ref[:, h * 128 : (h + 1) * 128] += jax.lax.dot_general(
+                gh,
+                B,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -217,13 +262,13 @@ def _adam_kernel(tile_of, chunkblk, flags, cols_ref, grads_ref, table_ref,
         G = ga[:dp, :] * inv_scale
         mask = _expand_touch(ga[dp:, :], dim, fold)
         lr_t = scal_ref[0]
-        m_old = m_ref[:, :]
-        v_old = v_ref[:, :]
+        m_old = m_ref[:, :].astype(jnp.float32)
+        v_old = v_ref[:, :].astype(jnp.float32)
         m_new = b1 * m_old + (1.0 - b1) * G
         v_new = b2 * v_old + (1.0 - b2) * G * G
         upd = lr_t * m_new / (jnp.sqrt(v_new) + eps)
-        m_out[:, :] = jnp.where(mask, m_new, m_old)
-        v_out[:, :] = jnp.where(mask, v_new, v_old)
+        m_out[:, :] = jnp.where(mask, m_new, m_old).astype(m_out.dtype)
+        v_out[:, :] = jnp.where(mask, v_new, v_old).astype(v_out.dtype)
         table_out[:, :] = jnp.where(mask, table_ref[:, :] - upd, table_ref[:, :])
 
 
@@ -300,7 +345,7 @@ def streamed_adam_cols(
         ],
         # in-place: table/m/v buffers are reused for the outputs (indices
         # count pallas_call operands including the 3 scalar-prefetch args)
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        input_output_aliases={} if NO_ALIAS else {5: 0, 6: 1, 7: 2},
         interpret=interpret or INTERPRET,
     )(tile_of, chunkblk, flags, cols_p, grads_p, table, m, v, lr_arr)
 

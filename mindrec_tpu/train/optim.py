@@ -163,6 +163,7 @@ def adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     loss_scale: float = 1.0,
+    state_dtype=jnp.float32,
 ) -> Optimizer:
     """Adam with per-leaf step counters.  ``update_rows`` gives LazyAdam
     semantics: only touched rows' moments advance, bias correction uses
@@ -170,14 +171,19 @@ def adam(
     (``wide_and_deep.py:419-421``).
 
     Defaults match the reference deep-optimizer hyperparameters.
+
+    ``state_dtype``: storage precision of the m/v moments.  The sparse
+    embedding update streams table+m+v through HBM every step; bf16
+    moments cut that traffic by a third (all arithmetic stays f32 —
+    only the stored moments round).
     """
 
     inv_scale = 1.0 / loss_scale
 
     def init_leaf(p):
         return {
-            "m": jnp.zeros_like(p, dtype=jnp.float32),
-            "v": jnp.zeros_like(p, dtype=jnp.float32),
+            "m": jnp.zeros_like(p, dtype=state_dtype),
+            "v": jnp.zeros_like(p, dtype=state_dtype),
             "step": jnp.zeros((), jnp.int32),
         }
 
@@ -189,10 +195,10 @@ def adam(
 
     def _step_fn(g, m, v, p, lr_t):
         g = g.astype(jnp.float32) * inv_scale
-        m_new = b1 * m + (1.0 - b1) * g
-        v_new = b2 * v + (1.0 - b2) * g * g
+        m_new = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+        v_new = b2 * v.astype(jnp.float32) + (1.0 - b2) * g * g
         p_new = p.astype(jnp.float32) - lr_t * m_new / (jnp.sqrt(v_new) + eps)
-        return p_new.astype(p.dtype), m_new, v_new
+        return p_new.astype(p.dtype), m_new.astype(state_dtype), v_new.astype(state_dtype)
 
     def update_leaf(g, state, p):
         step = state["step"] + 1

@@ -85,3 +85,22 @@ def test_ftrl_shrinks_toward_zero_with_l1():
     p2, _ = opt.update_leaf(g, s, p)
     # tiny grad, huge l1 -> weight stays at exactly 0
     np.testing.assert_allclose(np.asarray(p2), 0.0)
+
+
+def test_adam_bf16_state_tracks_f32():
+    """bf16 m/v storage (state_dtype) stays close to f32 Adam over many
+    steps — the quality gate for running the bandwidth-saving bf16
+    moments in the sparse streaming update."""
+    opt32 = optim.adam(learning_rate=1e-2)
+    opt16 = optim.adam(learning_rate=1e-2, state_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    p32 = p16 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    s32, s16 = opt32.init_leaf(p32), opt16.init_leaf(p16)
+    assert s16["m"].dtype == jnp.bfloat16
+    for i in range(50):
+        g = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+        p32, s32 = opt32.update_leaf(g, s32, p32)
+        p16, s16 = opt16.update_leaf(g, s16, p16)
+    # trajectories agree to ~bf16 resolution accumulated over 50 steps
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=3e-2)
+    assert s16["m"].dtype == jnp.bfloat16 and s16["v"].dtype == jnp.bfloat16
