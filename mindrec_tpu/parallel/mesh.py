@@ -50,8 +50,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    s = batch_sharding(mesh)
+def shard_batch(batch: dict, mesh: Mesh, full_batch: bool = False) -> dict:
+    """Place a host batch on the mesh.
+
+    ``full_batch=True`` is the reference's AUTO_PARALLEL *full-batch*
+    input mode (``set_auto_parallel_context(full_batch=True)``,
+    ``train_and_eval_parameter_server_distribute.py:95-96``): every
+    device sees the whole batch (replicated input) and the parallelism
+    comes entirely from the sharded embedding tables — used when the
+    input pipeline is not itself sharded per worker."""
+    s = replicated(mesh) if full_batch else batch_sharding(mesh)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 

@@ -1,0 +1,139 @@
+"""TFRecord + H5 dataset format tests (reference 3-format parity,
+``models/wide_deep/src/datasets.py:28-35``)."""
+
+import numpy as np
+import pytest
+
+from mindrec_tpu.data.criteo import SyntheticCriteo
+from mindrec_tpu.data.formats import (
+    DataType,
+    H5CriteoDataset,
+    TFRecordCriteoDataset,
+    create_dataset,
+    decode_example,
+    encode_example,
+    read_tfrecord,
+    write_criteo_tfrecords,
+    write_tfrecord,
+)
+
+
+def _stream(n_batches=4, b=200, f=7, vocab=5000):
+    data = SyntheticCriteo(b, f, vocab, steps=n_batches, seed=3)
+    return list(data)
+
+
+def test_example_roundtrip():
+    ex = {
+        "feat_ids": np.arange(12, dtype=np.int64).reshape(3, 4),
+        "feat_vals": np.linspace(-1, 1, 12).astype(np.float32),
+        "label": np.array([0.0, 1.0], np.float32),
+        "name": np.array([b"abc", b"def"], dtype=object),
+    }
+    out = decode_example(encode_example(ex))
+    np.testing.assert_array_equal(out["feat_ids"], ex["feat_ids"].reshape(-1))
+    np.testing.assert_allclose(out["feat_vals"], ex["feat_vals"], rtol=1e-7)
+    np.testing.assert_array_equal(out["label"], ex["label"])
+    assert list(out["name"]) == [b"abc", b"def"]
+
+
+def test_example_negative_ints():
+    ex = {"v": np.array([-1, -(2**40), 2**40], np.int64)}
+    out = decode_example(encode_example(ex))
+    np.testing.assert_array_equal(out["v"], ex["v"])
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    path = tmp_path / "x.tfrecord"
+    examples = [
+        {"a": np.array([i, i + 1], np.int64), "b": np.array([0.5 * i], np.float32)}
+        for i in range(10)
+    ]
+    write_tfrecord(path, iter(examples))
+    back = list(read_tfrecord(path, verify_crc=True))
+    assert len(back) == 10
+    np.testing.assert_array_equal(back[7]["a"], [7, 8])
+    np.testing.assert_allclose(back[7]["b"], [3.5])
+
+
+def test_tfrecord_interop_with_tensorflow(tmp_path):
+    """Our codec must be byte-compatible with TF's (when tf is around)."""
+    tf = pytest.importorskip("tensorflow")
+    path = tmp_path / "ours.tfrecord"
+    write_tfrecord(
+        path,
+        iter([{"ids": np.array([5, 6], np.int64), "v": np.array([1.5], np.float32)}]),
+    )
+    recs = list(tf.data.TFRecordDataset(str(path)))
+    ex = tf.train.Example()
+    ex.ParseFromString(recs[0].numpy())
+    assert list(ex.features.feature["ids"].int64_list.value) == [5, 6]
+    assert ex.features.feature["v"].float_list.value[0] == 1.5
+
+    # and read one TF wrote
+    path2 = str(tmp_path / "theirs.tfrecord")
+    with tf.io.TFRecordWriter(path2) as w:
+        e = tf.train.Example(
+            features=tf.train.Features(
+                feature={
+                    "ids": tf.train.Feature(
+                        int64_list=tf.train.Int64List(value=[9, 10])
+                    ),
+                }
+            )
+        )
+        w.write(e.SerializeToString())
+    ours = list(read_tfrecord(path2, verify_crc=True))
+    np.testing.assert_array_equal(ours[0]["ids"], [9, 10])
+
+
+def test_tfrecord_criteo_dataset(tmp_path):
+    batches = _stream(n_batches=5, b=200, f=7)
+    write_criteo_tfrecords(tmp_path, iter(batches), line_per_sample=100)
+    ds = TFRecordCriteoDataset(
+        tmp_path, batch_size=200, field_size=7, line_per_sample=100
+    )
+    out = list(ds)
+    assert len(out) == 5
+    np.testing.assert_array_equal(out[0]["ids"], batches[0]["ids"])
+    np.testing.assert_allclose(out[2]["wts"], batches[2]["wts"])
+    np.testing.assert_array_equal(
+        out[4]["label"].reshape(-1), batches[4]["label"].reshape(-1)
+    )
+
+
+def test_tfrecord_sharding(tmp_path):
+    batches = _stream(n_batches=4, b=100, f=7)
+    write_criteo_tfrecords(
+        tmp_path, iter(batches), line_per_sample=100, records_per_file=1
+    )
+    a = list(TFRecordCriteoDataset(tmp_path, 100, field_size=7, num_shards=2, shard_id=0, line_per_sample=100))
+    b = list(TFRecordCriteoDataset(tmp_path, 100, field_size=7, num_shards=2, shard_id=1, line_per_sample=100))
+    assert len(a) == 2 and len(b) == 2
+    assert not np.array_equal(a[0]["ids"], b[0]["ids"])
+
+
+def test_h5_dataset_roundtrip_and_endless(tmp_path):
+    pytest.importorskip("h5py")
+    batches = _stream(n_batches=4, b=100, f=7)
+    nparts = H5CriteoDataset.write_parts(tmp_path, iter(batches), samples_per_part=200)
+    assert nparts == 2
+    # bounded pass
+    ds = H5CriteoDataset(tmp_path, batch_size=100, field_size=7, max_rounds=1)
+    out = list(ds)
+    assert len(out) == 4
+    np.testing.assert_array_equal(out[0]["ids"], batches[0]["ids"])
+    # endless restart (reference datasets.py:74-98): 2 rounds = 8 batches
+    it = iter(H5CriteoDataset(tmp_path, batch_size=100, field_size=7, max_rounds=2))
+    got = [next(it) for _ in range(8)]
+    np.testing.assert_array_equal(got[4]["ids"], got[0]["ids"])
+
+
+def test_create_dataset_dispatch(tmp_path):
+    batches = _stream(n_batches=2, b=100, f=7)
+    write_criteo_tfrecords(tmp_path / "tfr", iter(batches), line_per_sample=100)
+    ds = create_dataset(
+        tmp_path / "tfr", 100, data_type=DataType.TFRECORD, field_size=7,
+        line_per_sample=100,
+    )
+    assert len(list(ds)) == 2
