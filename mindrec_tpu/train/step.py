@@ -380,6 +380,12 @@ def make_train_step(
                     dims.append(r.shape[0])
                     names.append(name)
                 big = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                # transport the un-permute (and its backward) at the
+                # sparse path's matmul precision: the MLP consumes the
+                # rows in mixed precision anyway and grads carry the
+                # loss scale, while the [N, sum(D)] gather is ~17%
+                # faster in bf16 (measured: 5.3 vs 6.4 ms at bs 16000)
+                big = big.astype(matmul_dtype)
                 bigT = _permute_rows(big.T, inv, perm)  # [N, sum(D)]
                 rows, off = {}, 0
                 for name, dn in zip(names, dims):
