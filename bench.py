@@ -96,11 +96,16 @@ def main():
         iota = jnp.arange(n, dtype=jnp.int32)
         sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
         _, inv = jax.lax.sort_key_val(perm, iota)
-        return sorted_ids, perm, inv
+        newv = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+        )
+        uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+        uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
+        return sorted_ids, perm, inv, uq, uidx_sorted[inv]
 
     if not args.dense:
         for b in batches:
-            b["sorted_ids"], b["perm"], b["inv"] = _prep(b["ids"])
+            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"]) = _prep(b["ids"])
         float(batches[-1]["inv"][0])  # fence
 
     # NB: jax.block_until_ready is a no-op through the axon tunnel

@@ -347,32 +347,57 @@ def make_train_step(
                 iota = jnp.arange(n_pos, dtype=jnp.int32)
                 sorted_ids, perm = jax.lax.sort_key_val(flat_ids, iota)
                 _, inv = jax.lax.sort_key_val(perm, iota)
+            if "uq_ids" in batch:
+                uq_ids = batch["uq_ids"].reshape(-1)
+                uidx_batch = batch["uidx"].reshape(-1)
+            else:
+                # unique-first (the reference's own sparse forward:
+                # Unique -> MapTensorGet, embedding.py:189-195): gather
+                # kernels then stream only the U distinct ids.  Padded
+                # to static [N] with a sentinel past every vocab.
+                newv = jnp.concatenate(
+                    [
+                        jnp.ones((1,), bool),
+                        sorted_ids[1:] != sorted_ids[:-1],
+                    ]
+                )
+                uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+                uq_ids = jnp.sort(
+                    jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2))
+                )
+                uidx_batch = uidx_sorted[inv]
             rows_in = {}
             sub_sorted = {}
+            sub_uq = {}
             cols_sorted = {}
             for name, (path, spec) in table_specs.items():
                 table = get_table(params, path)
                 r = spec.fold
-                cols = sorted_ids // r if r > 1 else sorted_ids
-                cols_sorted[name] = cols
+                cols_sorted[name] = sorted_ids // r if r > 1 else sorted_ids
                 sub_sorted[name] = sorted_ids % r if r > 1 else None
+                sub_uq[name] = uq_ids % r if r > 1 else None
                 tl = _pick_tile(table.shape[1])
                 rows_in[name] = streamed_gather(
-                    table, cols, tile=tl, matmul_dtype=matmul_dtype
+                    table, uq_ids // r if r > 1 else uq_ids,
+                    tile=tl, matmul_dtype=matmul_dtype,
                 )
 
-            def reorder_all(rows_in):
-                # mask folded sub-rows in sorted space (autodiff then
-                # masks the backward grads into the right sublane slice),
-                # then un-permute ALL tables with ONE fused gather —
-                # XLA's gather cost is per-row, so one [N, sum(D)] gather
-                # beats a gather per table
+            def reorder_all(rows_in, pos_delta):
+                # mask folded sub-rows in unique space, concat all
+                # tables, then expand unique rows to per-position rows
+                # with ONE [N, sum(D)] gather (XLA gather cost is
+                # per-row, so one fused gather beats one per table).
+                # ``pos_delta`` (zeros) is the differentiation point:
+                # the expansion itself is stop_gradient'ed, so the
+                # backward yields batch-order per-position grads
+                # directly — no scatter-add over duplicate ids; the
+                # streamed update kernels sum duplicates themselves.
                 parts, dims, names = [], [], []
                 for name, r in rows_in.items():
                     spec = table_specs[name][1]
                     if spec.fold > 1:
                         r = r * _fold_mask(
-                            r.shape[0], spec.emb_dim, sub_sorted[name], r.dtype
+                            r.shape[0], spec.emb_dim, sub_uq[name], r.dtype
                         )
                     else:
                         r = r[: spec.emb_dim]  # drop sublane padding
@@ -380,18 +405,24 @@ def make_train_step(
                     dims.append(r.shape[0])
                     names.append(name)
                 big = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-                # transport the un-permute (and its backward) at the
-                # sparse path's matmul precision: the MLP consumes the
-                # rows in mixed precision anyway and grads carry the
-                # loss scale, while the [N, sum(D)] gather is ~17%
-                # faster in bf16 (measured: 5.3 vs 6.4 ms at bs 16000)
+                # transport the expansion at the path's matmul
+                # precision: the MLP consumes rows in mixed precision
+                # anyway and grads carry the loss scale (bf16 gather is
+                # ~17% faster than f32 at bs 16000)
                 big = big.astype(matmul_dtype)
-                bigT = _permute_rows(big.T, inv, perm)  # [N, sum(D)]
+                bigT = jax.lax.stop_gradient(big.T)[uidx_batch] + pos_delta
                 rows, off = {}, 0
                 for name, dn in zip(names, dims):
                     rows[name] = bigT[:, off : off + dn].reshape(B, F, dn)
                     off += dn
                 return rows
+
+            part_dims = []
+            for name, (path, spec) in table_specs.items():
+                part_dims.append(
+                    (name, spec, get_table(params, path).shape[0] if spec.fold > 1 else spec.emb_dim)
+                )
+            sum_d = sum(d for _, _, d in part_dims)
 
         else:
             rows_in = {}
@@ -418,17 +449,51 @@ def make_train_step(
                     rows[name] = r.T.reshape(B, F, r.shape[0])
                 return rows
 
-        def loss_fn(params, rows_in):
-            rows = reorder_all(rows_in)
-            logits = model.apply_rows(
-                params, rows, batch["wts"], train=True, rng=sub_rng
-            )
-            loss_w, loss_d = model.loss(params, logits, batch["label"])
-            return loss_d * sens, (loss_w, loss_d)
+        if use_pallas:
 
-        (grads, col_grads), (loss_w, loss_d) = jax.grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, rows_in)
+            def loss_fn(params, pos_delta):
+                rows = reorder_all(rows_in, pos_delta)
+                logits = model.apply_rows(
+                    params, rows, batch["wts"], train=True, rng=sub_rng
+                )
+                loss_w, loss_d = model.loss(params, logits, batch["label"])
+                return loss_d * sens, (loss_w, loss_d)
+
+            pos_delta = jnp.zeros((n_pos, sum_d), matmul_dtype)
+            (grads, g_delta), (loss_w, loss_d) = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, pos_delta)
+            # batch-order per-position grads -> sorted order (one fused
+            # gather, the mirror of the forward expansion)
+            g_sorted = g_delta[perm]  # [N, sum(D)]
+            col_grads = {}
+            off = 0
+            for name, spec, dn in part_dims:
+                g = g_sorted[:, off : off + dn].T  # [dn, N]
+                off += dn
+                if spec.fold > 1:
+                    # pos_delta is unmasked; zero the non-owning
+                    # sub-row lanes the fold mask would have zeroed
+                    g = g * _fold_mask(dn, spec.emb_dim, sub_sorted[name], g.dtype)
+                dp_full = get_table(params, table_specs[name][0]).shape[0]
+                if dn < dp_full:  # restore sublane padding rows
+                    g = jnp.concatenate(
+                        [g, jnp.zeros((dp_full - dn, n_pos), g.dtype)]
+                    )
+                col_grads[name] = g
+        else:
+
+            def loss_fn(params, rows_in):
+                rows = reorder_all(rows_in)
+                logits = model.apply_rows(
+                    params, rows, batch["wts"], train=True, rng=sub_rng
+                )
+                loss_w, loss_d = model.loss(params, logits, batch["label"])
+                return loss_d * sens, (loss_w, loss_d)
+
+            (grads, col_grads), (loss_w, loss_d) = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, rows_in)
 
         # dense params (table grads are all-zero & skipped -> DCE'd by XLA)
         params2, opt_w_state, opt_d_state = apply_updates(
@@ -491,13 +556,27 @@ def make_batch_sort(field_size: int):
 
     def prep(batch: dict) -> dict:
         ids = np.asarray(batch["ids"]).reshape(-1)
+        n = ids.size
         perm = np.argsort(ids, kind="stable").astype(np.int32)
         inv = np.empty_like(perm)
-        inv[perm] = np.arange(perm.size, dtype=np.int32)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        sorted_ids = ids[perm]
         out = dict(batch)
-        out["sorted_ids"] = ids[perm]
+        out["sorted_ids"] = sorted_ids
         out["perm"] = perm
         out["inv"] = inv
+        # unique-first forward metadata (reference Unique->MapTensorGet,
+        # embedding.py:189-195): sentinel-padded unique ids + the
+        # batch-order position -> unique-index map
+        newv = np.empty(n, bool)
+        newv[0] = True
+        np.not_equal(sorted_ids[1:], sorted_ids[:-1], out=newv[1:])
+        uidx_sorted = np.cumsum(newv, dtype=np.int32) - 1
+        uq = np.full(n, 2**31 - 2, np.int32)
+        u = sorted_ids[newv]
+        uq[: u.size] = u
+        out["uq_ids"] = uq
+        out["uidx"] = uidx_sorted[inv]
         return out
 
     return prep
