@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--dense", action="store_true", help="dense-grad path instead of row-sparse")
     ap.add_argument(
+        "--fields", default="criteo", choices=["criteo", "uniform"],
+        help="synthetic id traffic: 'criteo' sizes the 39 field ranges "
+        "like the real criteo schema the reference benchmarked on "
+        "(cardinalities 3..10M, heavy duplication); 'uniform' gives "
+        "every field an equal vocab slice (pessimal unique count)",
+    )
+    ap.add_argument(
         "--state-dtype", default="bfloat16", choices=["float32", "bfloat16"],
         help="Adam m/v moment storage: bf16 cuts the streamed update's HBM "
         "traffic by a third; arithmetic stays f32 "
@@ -76,7 +83,8 @@ def main():
     step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
 
     data = SyntheticCriteo(
-        cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0
+        cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0,
+        fields=args.fields,
     )
     batches = [
         {k: jax.device_put(v) for k, v in data.get_batch(s).items()}

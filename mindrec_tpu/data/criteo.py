@@ -28,12 +28,51 @@ from typing import Iterator
 import numpy as np
 
 
+# Criteo-Kaggle categorical cardinalities (C1..C26) — the published
+# per-field vocab sizes of the reference's benchmark dataset family
+# (same list the DLRM/criteo literature uses).  Used to synthesize
+# field-realistic id traffic: the reference's throughput numbers were
+# measured on real criteo data whose fields span 4 orders of magnitude
+# in cardinality (benchmarks/README.md:27: criteo 1-day, vocab 5.86M).
+CRITEO_KAGGLE_CAT_CARDINALITIES = (
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+    8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18,
+    15, 286181, 105, 142572,
+)
+N_DENSE_FIELDS = 13  # int columns, bucketized into small id ranges
+
+
+def criteo_field_sizes(vocab_size: int, field_size: int = 39) -> np.ndarray:
+    """Per-field id-range sizes proportional to the real criteo schema,
+    scaled so they sum to ``vocab_size``.  Fields beyond the 39-column
+    criteo layout cycle through the categorical list."""
+    dense = [64.0] * min(N_DENSE_FIELDS, field_size)
+    n_cat = field_size - len(dense)
+    cats = [
+        float(CRITEO_KAGGLE_CAT_CARDINALITIES[i % 26]) for i in range(n_cat)
+    ]
+    base = np.array(dense + cats, np.float64)
+    small = base < 10000
+    fixed = base[small].sum()
+    scale = max(vocab_size - fixed, 1) / max(base[~small].sum(), 1)
+    sizes = np.where(small, base, np.maximum(base * scale, 4.0)).astype(np.int64)
+    # exact sum: dump the rounding remainder into the largest field
+    sizes[np.argmax(sizes)] += vocab_size - sizes.sum()
+    return np.maximum(sizes, 1)
+
+
 class SyntheticCriteo:
     """Synthetic criteo-like stream with a power-law id distribution.
 
     The skewed (zipf-ish) id distribution matters: it exercises the
     duplicate-heavy unique path and cache hit behavior like real criteo
     traffic (reference's scaling axis, SURVEY §2.5).
+
+    ``fields="uniform"`` gives every field an equal vocab slice;
+    ``fields="criteo"`` sizes the 39 field ranges like the real criteo
+    schema (13 small bucketized dense columns + 26 categoricals whose
+    cardinalities span 3 to ~10M), which is what the reference's
+    benchmark numbers were actually measured on.
     """
 
     def __init__(
@@ -46,6 +85,7 @@ class SyntheticCriteo:
         zipf_a: float = 1.1,
         label_noise: float = 0.25,
         model_seed: int = 777,
+        fields: str = "uniform",
     ):
         self.batch_size = batch_size
         self.field_size = field_size
@@ -54,6 +94,17 @@ class SyntheticCriteo:
         self.seed = seed
         self.zipf_a = zipf_a
         self.label_noise = label_noise
+        if fields == "criteo":
+            sizes = criteo_field_sizes(vocab_size, field_size)
+        elif fields == "uniform":
+            per_field = max(vocab_size // field_size, 1)
+            sizes = np.full(field_size, per_field, np.int64)
+        else:
+            raise ValueError(f"fields must be uniform|criteo, got {fields}")
+        self._field_sizes = sizes
+        self._field_offsets = np.concatenate(
+            [[0], np.cumsum(sizes)[:-1]]
+        ).astype(np.int64)
         # hidden linear model so AUC is learnable; seeded independently of
         # `seed` so train/eval streams share one ground-truth model
         rng = np.random.default_rng(model_seed)
@@ -66,9 +117,7 @@ class SyntheticCriteo:
         rng = np.random.default_rng(self.seed + step)
         b, f = self.batch_size, self.field_size
         raw = rng.zipf(self.zipf_a, size=(b, f)).astype(np.int64)
-        # fold into per-field id ranges like hashed criteo categoricals
-        per_field = max(self.vocab_size // f, 1)
-        ids = (raw % per_field) + np.arange(f, dtype=np.int64)[None, :] * per_field
+        ids = (raw % self._field_sizes[None, :]) + self._field_offsets[None, :]
         ids = (ids % self.vocab_size).astype(np.int32)
         wts = np.ones((b, f), np.float32)
         logit = self._hidden_w[ids].mean(axis=1) * 3.0
