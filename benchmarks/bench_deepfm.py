@@ -1,0 +1,112 @@
+"""DeepFM training throughput (reference recipe parity).
+
+Reference: 21 ms/step at bs 16000 on Ascend 910 (~762k samples/s,
+``models/deepfm/README.md:427-433``) with the default config
+(``models/deepfm/default_config.yaml``: vocab 184,965, 39 fields,
+emb 80, deep layers 1024/512/256/128, Adam, loss_scale 1024,
+keep_prob 0.9, fp16 compute).
+
+Prints one JSON line like bench.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+if (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"
+    and os.environ.get("MINDREC_BENCH_REEXEC") != "1"
+):
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.environ["MINDREC_BENCH_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=16000)
+    ap.add_argument("--vocab-size", type=int, default=184965)
+    ap.add_argument("--emb-dim", type=int, default=80)
+    ap.add_argument("--field-size", type=int, default=39)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--sparse", action="store_true",
+                    help="row-sparse table path (tables small enough "
+                    "here that the dense-grad path is competitive)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.models.deepfm import DeepFMConfig, DeepFMModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step, make_batch_sort
+
+    cfg = DeepFMConfig(
+        batch_size=args.batch_size,
+        field_size=args.field_size,
+        vocab_size=args.vocab_size,
+        emb_dim=args.emb_dim,
+        deep_layer_dim=(1024, 512, 256, 128),
+        keep_prob=0.9,
+        use_mixed_precision=True,
+        sparse=args.sparse,
+        loss_scale=1024.0,
+    )
+    model = DeepFMModel(cfg)
+    opt = optim.adam(
+        learning_rate=5e-4, eps=5e-8, loss_scale=cfg.loss_scale,
+        state_dtype=jnp.bfloat16,
+    )
+    # single optimizer (reference deepfm.py: one Adam); the dual-split
+    # builder routes everything to the deep side when no key matches
+    opt_w = optim.adam(
+        learning_rate=5e-4, eps=5e-8, loss_scale=cfg.loss_scale,
+        state_dtype=jnp.bfloat16,
+    )
+    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt)
+    step = make_train_step(model, opt_w, opt, jit=True, donate=True)
+
+    data = SyntheticCriteo(
+        cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0,
+        fields="criteo",
+    )
+    prep = make_batch_sort(cfg.field_size)
+    batches = []
+    for s in range(8):
+        b = data.get_batch(s)
+        if args.sparse:
+            b = prep(b)
+        batches.append({k: jax.device_put(v) for k, v in b.items()})
+
+    for i in range(args.warmup):
+        state, losses = step(state, batches[i % 8])
+    float(losses[1])
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, losses = step(state, batches[i % 8])
+    float(losses[1])
+    dt = time.perf_counter() - t0
+
+    sps = args.steps * cfg.batch_size / dt
+    baseline = 16000 / 0.021  # 21 ms/step @ bs 16000 on Ascend 910
+    print(
+        json.dumps(
+            {
+                "metric": "deepfm_train_samples_per_sec_1chip",
+                "value": round(sps, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(sps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
