@@ -109,11 +109,12 @@ def main():
         )
         uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
         uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
-        return sorted_ids, perm, inv, uq, uidx_sorted[inv]
+        return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted
 
     if not args.dense:
         for b in batches:
-            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"]) = _prep(b["ids"])
+            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"],
+             b["uidx_sorted"]) = _prep(b["ids"])
         float(batches[-1]["inv"][0])  # fence
 
     # NB: jax.block_until_ready is a no-op through the axon tunnel

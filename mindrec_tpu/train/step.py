@@ -172,7 +172,12 @@ def _streamed_table_update(opt: Optimizer, grads_aug, cols_sorted, leaf_state,
             -h["learning_rate"] / h["loss_scale"]
             * grads_aug[: table.shape[0]].astype(jnp.float32)
         )
-        return table.at[:, cols_sorted].add(delta.astype(table.dtype)), leaf_state
+        # mode="drop": sentinel-padded unique cols are out of bounds by
+        # construction and must not clip onto the last real column
+        return (
+            table.at[:, cols_sorted].add(delta.astype(table.dtype), mode="drop"),
+            leaf_state,
+        )
     if opt.kind == "adam":
         step = leaf_state["step"] + 1
         s = step.astype(jnp.float32)
@@ -350,6 +355,13 @@ def make_train_step(
             if "uq_ids" in batch:
                 uq_ids = batch["uq_ids"].reshape(-1)
                 uidx_batch = batch["uidx"].reshape(-1)
+                if "uidx_sorted" in batch:
+                    uidx_sorted = batch["uidx_sorted"].reshape(-1)
+                else:
+                    newv = jnp.concatenate(
+                        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+                    )
+                    uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
             else:
                 # unique-first (the reference's own sparse forward:
                 # Unique -> MapTensorGet, embedding.py:189-195): gather
@@ -367,19 +379,16 @@ def make_train_step(
                 )
                 uidx_batch = uidx_sorted[inv]
             rows_in = {}
-            sub_sorted = {}
             sub_uq = {}
-            cols_sorted = {}
+            uq_cols = {}
             for name, (path, spec) in table_specs.items():
                 table = get_table(params, path)
                 r = spec.fold
-                cols_sorted[name] = sorted_ids // r if r > 1 else sorted_ids
-                sub_sorted[name] = sorted_ids % r if r > 1 else None
+                uq_cols[name] = uq_ids // r if r > 1 else uq_ids
                 sub_uq[name] = uq_ids % r if r > 1 else None
                 tl = _pick_tile(table.shape[1])
                 rows_in[name] = streamed_gather(
-                    table, uq_ids // r if r > 1 else uq_ids,
-                    tile=tl, matmul_dtype=matmul_dtype,
+                    table, uq_cols[name], tile=tl, matmul_dtype=matmul_dtype,
                 )
 
             def reorder_all(rows_in, pos_delta):
@@ -464,17 +473,25 @@ def make_train_step(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, pos_delta)
             # batch-order per-position grads -> sorted order (one fused
-            # gather, the mirror of the forward expansion)
+            # gather, the mirror of the forward expansion), then ONE
+            # streamed segment-sum folds duplicate ids together so the
+            # optimizer kernels stream only the U unique columns
+            from mindrec_tpu.ops.pallas.stream_segsum import streamed_segsum
+
             g_sorted = g_delta[perm]  # [N, sum(D)]
+            g_uq = streamed_segsum(
+                g_sorted.T, uidx_sorted, matmul_dtype=matmul_dtype
+            )[:, :n_pos]  # [sum(D), N] (valid first U cols; tail cols
+            # map to sentinel ids no table tile ever owns)
             col_grads = {}
             off = 0
             for name, spec, dn in part_dims:
-                g = g_sorted[:, off : off + dn].T  # [dn, N]
+                g = g_uq[off : off + dn]  # [dn, N]
                 off += dn
                 if spec.fold > 1:
                     # pos_delta is unmasked; zero the non-owning
                     # sub-row lanes the fold mask would have zeroed
-                    g = g * _fold_mask(dn, spec.emb_dim, sub_sorted[name], g.dtype)
+                    g = g * _fold_mask(dn, spec.emb_dim, sub_uq[name], g.dtype)
                 dp_full = get_table(params, table_specs[name][0]).shape[0]
                 if dn < dp_full:  # restore sublane padding rows
                     g = jnp.concatenate(
@@ -504,11 +521,11 @@ def make_train_step(
             table = get_table(params, path)
             opt = opt_w if is_wide_key(key) else opt_d
             opt_state = opt_w_state if is_wide_key(key) else opt_d_state
-            g = col_grads[name]  # (Dp, N), sorted order on pallas path
+            g = col_grads[name]  # (Dp, N): unique cols (pallas) / flat
             if use_pallas:
-                g_aug = make_aug_grads(g, sub_sorted[name])
+                g_aug = make_aug_grads(g, sub_uq[name])
                 new_table, new_sub = _streamed_table_update(
-                    opt, g_aug, cols_sorted[name], opt_state[key], table, spec,
+                    opt, g_aug, uq_cols[name], opt_state[key], table, spec,
                     matmul_dtype=matmul_dtype,
                 )
             else:
@@ -539,7 +556,10 @@ def make_train_step(
 
         new_state = TrainState(params2, opt_w_state, opt_d_state, state.step + 1, rng)
         if check_overflow:
-            new_state = _guard(_grads_finite(grads, col_grads), new_state, state)
+            # pallas path: col_grads' sentinel tail is unwritten kernel
+            # output; check the per-position grads instead
+            gcheck = g_delta if use_pallas else col_grads
+            new_state = _guard(_grads_finite(grads, gcheck), new_state, state)
         return new_state, (loss_w, loss_d)
 
     step = sparse_step if sparse else dense_step
@@ -577,6 +597,7 @@ def make_batch_sort(field_size: int):
         uq[: u.size] = u
         out["uq_ids"] = uq
         out["uidx"] = uidx_sorted[inv]
+        out["uidx_sorted"] = uidx_sorted
         return out
 
     return prep

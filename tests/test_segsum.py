@@ -1,0 +1,45 @@
+"""Streamed monotone segment-sum kernel (interpret mode) vs numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mindrec_tpu.ops.pallas.stream_segsum import streamed_segsum
+
+
+def _ref(g, uidx, n_out):
+    out = np.zeros((g.shape[0], n_out), np.float32)
+    np.add.at(out.T, uidx, np.asarray(g).T)
+    return out
+
+
+@pytest.mark.parametrize("seed,n,dup", [(0, 640, 3), (1, 1024, 40), (2, 257, 1)])
+def test_segsum_matches_numpy(seed, n, dup):
+    rng = np.random.default_rng(seed)
+    # monotone unit-step segment ids with duplicate runs
+    reps = rng.integers(1, dup + 1, size=n)
+    uidx = np.repeat(np.arange(n), reps)[:n].astype(np.int32)
+    g = rng.normal(size=(8, n)).astype(np.float32)
+    out = streamed_segsum(
+        jnp.asarray(g), jnp.asarray(uidx), width=128, chunk=64,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    n_out = out.shape[1]
+    ref = _ref(g, uidx, n_out)
+    u_max = int(uidx.max()) + 1
+    np.testing.assert_allclose(np.asarray(out)[:, :u_max], ref[:, :u_max], rtol=1e-5, atol=1e-5)
+
+
+def test_segsum_heavy_duplication():
+    """One hot id owning most of the batch (power-law worst case)."""
+    n = 512
+    uidx = np.zeros(n, np.int32)
+    uidx[-5:] = [1, 2, 3, 3, 4]
+    g = np.ones((8, n), np.float32)
+    out = streamed_segsum(
+        jnp.asarray(g), jnp.asarray(uidx), width=128, chunk=64,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    assert float(out[0, 0]) == n - 5
+    assert float(out[0, 3]) == 2.0
+    assert float(out[0, 4]) == 1.0
