@@ -113,11 +113,13 @@ def _pick_tile(Vc: int, update: bool = False, dp: int = 16) -> int | None:
     scoped-vmem limit for wide-row tables (DeepFM dp=80)."""
     cands = (8192, 4096, 2048, 1024, 512, 256, 128) if update else (
         4096, 2048, 1024, 512, 256, 128)
-    # observed scoped-vmem footprint ~54 bytes per (row, tile-column):
-    # 3 state blocks in + 3 out, double-buffered, + the f32 accumulator
+    # observed scoped-vmem footprint per (row, tile-column): update ~54
+    # bytes (3 state blocks in + out, double-buffered, + f32 acc);
+    # gather ~8 (one table block, double-buffered)
     budget = 14_000_000
+    per_col = (54 if update else 8) * dp
     for cand in cands:
-        if Vc % cand == 0 and 54 * dp * cand <= budget:
+        if Vc % cand == 0 and per_col * cand <= budget:
             return cand
     for cand in cands:  # fall back to divisibility only
         if Vc % cand == 0:
