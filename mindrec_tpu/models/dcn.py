@@ -117,7 +117,9 @@ class DCNModel:
 
     def apply_rows(self, params, rows, wts, train=False, rng=None):
         c = self.config
-        vx = rows["emb"] * wts[:, :, None]
+        # keep the [B,F,D] mask multiply at the rows' precision (an f32
+        # mask would promote the step's widest tensor, doubling traffic)
+        vx = rows["emb"] * wts[:, :, None].astype(rows["emb"].dtype)
         x0 = vx.reshape(-1, self.input_size)
         deep_out = self._deep_net(params["mlp"], x0, train, rng)
         cross_out = self._cross_net(params["cross"], x0)

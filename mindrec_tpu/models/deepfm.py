@@ -105,12 +105,18 @@ class DeepFMModel:
 
     def apply_rows(self, params, rows, wts, train=False, rng=None):
         c = self.config
-        mask = wts[:, :, None]
         w_rows, v_rows = rows["linear"], rows["fm"]
-        linear_out = jnp.sum(w_rows * mask, axis=(1, 2))[:, None]  # [B,1]
-        vx = v_rows * mask  # [B,F,D]
-        v1 = jnp.square(jnp.sum(vx, axis=1))  # (sum_f v)^2
-        v2 = jnp.sum(jnp.square(vx), axis=1)  # sum_f v^2
+        # elementwise FM work stays at the rows' (mixed) precision — an
+        # f32 mask would promote every [B,F,D] tensor, doubling the HBM
+        # traffic of the step's widest intermediates; reductions
+        # accumulate in f32
+        mask = wts[:, :, None]
+        linear_out = jnp.sum(
+            w_rows * mask.astype(w_rows.dtype), axis=(1, 2), dtype=jnp.float32
+        )[:, None]  # [B,1]
+        vx = v_rows * mask.astype(v_rows.dtype)  # [B,F,D]
+        v1 = jnp.square(jnp.sum(vx, axis=1, dtype=jnp.float32))  # (sum_f v)^2
+        v2 = jnp.sum(jnp.square(vx.astype(jnp.float32)), axis=1)  # sum_f v^2
         fm_out = 0.5 * jnp.sum(v1 - v2, axis=1)[:, None]  # [B,1]
         deep_in = vx.reshape(-1, c.field_size * c.emb_dim)
         deep_out = self._mlp(params["mlp"], deep_in, train, rng)

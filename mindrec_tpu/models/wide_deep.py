@@ -150,8 +150,14 @@ class WideDeepModel:
         table name — {"wide": [B,F,1], "deep": [B,F,D]}; wts [B,F]."""
         c = self.config
         wide_rows, deep_rows = rows["wide"], rows["deep"]
-        mask = wts[:, :, None]
-        wide_out = jnp.sum(wide_rows * mask, axis=(1, 2), keepdims=False)
+        # keep the [B,F,D] elementwise work at the rows' (mixed) precision:
+        # an f32 wts mask would silently promote it, doubling the HBM
+        # traffic of the widest tensors in the step
+        mask = wts[:, :, None].astype(deep_rows.dtype)
+        wide_out = jnp.sum(
+            wide_rows * wts[:, :, None].astype(wide_rows.dtype),
+            axis=(1, 2), dtype=jnp.float32,
+        )
         wide_out = wide_out[:, None] + params["wide"]["bias"]
         deep_in = (deep_rows * mask).reshape(-1, c.field_size * c.emb_dim)
         deep_out = self._mlp(params["deep"]["mlp"], deep_in, train, rng)
