@@ -43,6 +43,10 @@ class DCNConfig:
     dropout_flag: bool = False
     use_mixed_precision: bool = False
     sparse: bool = False
+    # one-hot matmul gather (reference ``deep_and_cross.py:188-203``);
+    # on TPU this routes the lookup through the MXU — useful for small
+    # vocabs where a [B*F, V] @ [V, D] matmul beats a gather
+    use_one_hot_embeddings: bool = False
     loss_scale: float = 1.0
     learning_rate: float = 1e-4
     init_args: tuple = (-0.01, 0.01)
@@ -127,7 +131,17 @@ class DCNModel:
         return jnp.dot(h, params["final"]["w"]) + params["final"]["b"]
 
     def apply(self, params, ids, wts, train=False, rng=None):
-        rows = {"emb": self.lookup(params["emb"]["table"], ids)}
+        c = self.config
+        if c.use_one_hot_embeddings:
+            if c.sparse:
+                raise ValueError("use_one_hot_embeddings requires a dense table")
+            table = params["emb"]["table"]
+            dtype = jnp.bfloat16 if c.use_mixed_precision else jnp.float32
+            oh = jax.nn.one_hot(ids.reshape(-1), table.shape[0], dtype=dtype)
+            rows_flat = jnp.dot(oh, table.astype(dtype)).astype(jnp.float32)
+            rows = {"emb": rows_flat.reshape(ids.shape + (c.emb_dim,))}
+        else:
+            rows = {"emb": self.lookup(params["emb"]["table"], ids)}
         return self.apply_rows(params, rows, wts, train, rng)
 
     def apply_batch(self, params, batch, train=False, rng=None):

@@ -116,3 +116,18 @@ def test_dcn_sparse_step_runs():
     b = _batch(cfg)
     state, (lw, ld) = step(state, b)
     assert np.isfinite(float(ld))
+
+
+def test_dcn_one_hot_embedding_matches_gather():
+    """Reference one-hot matmul gather option (deep_and_cross.py:188-203):
+    same forward as the gather path (f32, no mixed precision)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DCN_SMALL, use_one_hot_embeddings=True)
+    m_oh = DCNModel(cfg)
+    m_g = DCNModel(DCN_SMALL)
+    params = m_g.init(jax.random.PRNGKey(0))
+    b = _batch(DCN_SMALL)
+    out_oh = jax.jit(lambda p, i, w: m_oh.apply(p, i, w))(params, b["ids"], b["wts"])
+    out_g = jax.jit(lambda p, i, w: m_g.apply(p, i, w))(params, b["ids"], b["wts"])
+    np.testing.assert_allclose(np.asarray(out_oh), np.asarray(out_g), rtol=1e-5, atol=1e-6)
