@@ -126,6 +126,24 @@ class CriteoFeatureEngineer:
         }
 
 
+def create_topic(topic: str, num_partitions: int = 2,
+                 bootstrap_servers: str = "localhost:9092",
+                 replication_factor: int = 1):
+    """Create a Kafka topic (reference admin helper,
+    ``examples/online_learning/kafka_client.py:1-10``).  Gated on
+    kafka-python being installed."""
+    try:
+        from kafka.admin import KafkaAdminClient, NewTopic  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("kafka-python is required for create_topic") from e
+    admin = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+    admin.create_topics(
+        [NewTopic(name=topic, num_partitions=num_partitions,
+                  replication_factor=replication_factor)]
+    )
+    admin.close()
+
+
 class KafkaSource:
     """Kafka topic-partition reader (reference ``read_kafka.py:5-41``):
     yields lists of messages, one list per ``count`` consumed.  Gated on
