@@ -9,6 +9,12 @@ keep_prob 0.9, fp16 compute).
 Prints one JSON line like bench.py.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+
 import argparse
 import json
 import os

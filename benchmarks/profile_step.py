@@ -5,6 +5,12 @@ un-permute) rather than naive XLA gathers/scatters, so the numbers sum
 to roughly the full-step time printed first.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+
 import time
 
 import jax

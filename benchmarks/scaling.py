@@ -16,6 +16,12 @@ Prints one JSON line per device count:
    "value": ..., "unit": "samples/s", "scaling_vs_1": ...}
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+
 import argparse
 import json
 import os

@@ -4,6 +4,12 @@ How fast can we pump [dp, Vc] arrays HBM->VMEM->HBM tile by tile?
 Variants: 1 array, 3 arrays, 3-packed-as-one [3*dp, Vc].
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+
 import functools
 import time
 

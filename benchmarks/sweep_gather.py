@@ -1,5 +1,11 @@
 """Sweep (tile, chunk) for the streamed gather kernel, wide+deep shapes."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+
 import itertools
 import time
 

@@ -1,5 +1,11 @@
 """Isolate the per-grid-step cost of the streamed adam kernel."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+
 import time
 
 import jax
