@@ -40,7 +40,13 @@ class DeepFMConfig:
     deep_layer_dim: Sequence[int] = (1024, 512, 256, 128)
     deep_layer_act: str = "relu"
     keep_prob: float = 0.9
-    dropout_flag: bool = True
+    # The reference's DeepFM has NO effective dropout: its DenseLayer
+    # hard-codes ``Dropout(p=0.0)`` (``models/deepfm/src/deepfm.py:115``)
+    # and the model passes ``keep_prob`` into the unused ``scale_coef``
+    # ctor slot (``deepfm.py:186-194``), so keep_prob never reaches the
+    # dropout op.  Parity default is therefore off; flip this on to get
+    # real inverted dropout at ``keep_prob``.
+    dropout_flag: bool = False
     use_mixed_precision: bool = True  # convert_dtype: True
     sparse: bool = False
     l2_coef: float = 8e-5
