@@ -21,7 +21,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 if (
     os.environ.get("PALLAS_AXON_POOL_IPS")

@@ -45,7 +45,7 @@ def timeit(name, chained_fn, *args):
     fence(f1(1, *args))
     print(f"{name}: compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    r1 = fence(f1(1, *args))
+    fence(f1(1, *args))
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     fence(f1(1 + ITERS, *args))

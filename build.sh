@@ -13,6 +13,11 @@ echo "== native: serving client =="
 make -C mindrec_tpu/serving
 
 echo "== python package =="
-python setup.py sdist bdist_wheel 2>/dev/null || python -m pip wheel . -w dist --no-deps
+# prefer the modern build front-end; fall back to pip wheel (errors visible)
+if python -c "import build" 2>/dev/null; then
+  python -m build
+else
+  python -m pip wheel . -w dist --no-deps
+fi
 
 echo "build complete; artifacts in dist/"

@@ -31,7 +31,7 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-from mindrec_tpu.data.formats import encode_example, read_tfrecord, write_tfrecord
+from mindrec_tpu.data.formats import read_tfrecord, write_tfrecord
 
 FLOAT_COLUMNS = ("label", "continue_val")
 

@@ -120,7 +120,6 @@ class DCNModel:
         return h.astype(jnp.float32)
 
     def apply_rows(self, params, rows, wts, train=False, rng=None):
-        c = self.config
         # keep the [B,F,D] mask multiply at the rows' precision (an f32
         # mask would promote the step's widest tensor, doubling traffic)
         vx = rows["emb"] * wts[:, :, None].astype(rows["emb"].dtype)

@@ -143,7 +143,6 @@ class MultiTableWideDeepModel:
         return h.astype(jnp.float32)
 
     def apply(self, params, batch, train=False, rng=None):
-        c = self.config
         d, w = params["deep"], params["wide"]
         B = batch["continue_val"].shape[0]
 

@@ -19,7 +19,7 @@ Batch layout: ``ids [B, F] int32``, ``wts [B, F] f32``, ``label [B, 1]``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -115,7 +115,6 @@ class WideDeepModel:
         }
 
     def init(self, key) -> dict:
-        c = self.config
         keys = jax.random.split(key, 3 + len(self.mlp_dims))
         mlp = [
             _dense_init(k, i, o) for k, (i, o) in zip(keys[3:], self.mlp_dims)

@@ -27,12 +27,8 @@ from __future__ import annotations
 import ctypes
 from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-
-from mindrec_tpu.native.hashstore import _find_native_lib  # shared .so dir
-
 
 def _load_cache_lib():
     lib_path = None
@@ -219,10 +215,8 @@ class HostTier:
         self._ssd_index[fid] = s
         if s >= self._ssd_rows:
             new_rows = self._ssd_rows + self.SSD_GROW
-            old = None
             if self._ssd is not None:
-                self._ssd.flush()
-                old = None  # data persists in the file
+                self._ssd.flush()  # data persists in the file
             self._ssd = np.memmap(
                 self._ssd_path, dtype=np.float32, mode="r+" if self._ssd_rows else "w+",
                 shape=(new_rows, self.dim),
@@ -328,6 +322,10 @@ class CachedEmbeddingTable:
                 for name in state_names
             }
         self.dummy_slot = cache_rows
+        # id -> slot mirror of the LRU's resident set, maintained by
+        # :meth:`prepare`; flush_all iterates it (works for both the
+        # native LRU, which has no iteration API, and the Python one)
+        self._resident: dict[int, int] = {}
 
     def init_arena(self, key=None) -> jnp.ndarray:
         rows = self.param_tier.read(np.arange(0))  # ensure tiers
@@ -340,6 +338,10 @@ class CachedEmbeddingTable:
     def prepare(self, ids: np.ndarray):
         """Host step: ids -> (slots, padded swap lists + host rows)."""
         slots, load_ids, load_slots, evict_ids, evict_slots = self.lru.lookup(ids)
+        for i in evict_ids.tolist():
+            self._resident.pop(i, None)
+        for i, s in zip(load_ids.tolist(), load_slots.tolist()):
+            self._resident[i] = s
         if (slots < 0).any():
             raise RuntimeError(
                 "cache thrash: batch needs more distinct rows than cache_rows"
@@ -383,11 +385,7 @@ class CachedEmbeddingTable:
 
     def flush_all(self, arena, state_arenas: dict):
         """Write every resident row back to the host tiers (checkpoint)."""
-        if hasattr(self.lru, "_od"):
-            items = list(self.lru._od.items())
-        else:
-            # native: no iteration API yet; track via a shadow dict
-            items = list(getattr(self, "_shadow", {}).items())
+        items = list(self._resident.items())
         if not items:
             return
         ids = np.array([k for k, _ in items], np.int64)

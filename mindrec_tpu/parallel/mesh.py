@@ -103,9 +103,20 @@ def shard_train_state(state, model, mesh: Mesh):
             if spec is not None and spec.slice_mode != "none":
                 pspec = spec.partition_spec()
 
-                def put(x):
-                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == spec.padded_vocab:
-                        nd = getattr(x, "ndim", 0)
+                def put(x, spec=spec, pspec=pspec):
+                    # moment/accumulator arrays mirror the table's storage
+                    # layout exactly (zeros_like), so they take the table's
+                    # partition spec whether the layout is dense row-major
+                    # [Vp, D] or feature-major [Dp, Vc] — only the vocab
+                    # extent matters (dtype may differ, e.g. bf16 moments)
+                    nd = getattr(x, "ndim", 0)
+                    if nd == 2 and x.shape == spec.storage_shape:
+                        return jax.device_put(x, NamedSharding(mesh, pspec))
+                    if (
+                        nd >= 1
+                        and not spec.feature_major
+                        and x.shape[0] == spec.padded_vocab
+                    ):
                         sub = P(*(list(pspec)[:nd]))
                         return jax.device_put(x, NamedSharding(mesh, sub))
                     return jax.device_put(x, replicated(mesh))

@@ -34,7 +34,6 @@ scheduler is worker 0, exactly like ``jax.distributed``'s coordinator).
 from __future__ import annotations
 
 import os
-import subprocess
 from dataclasses import dataclass, field
 
 from mindrec_tpu.parallel.dist import initialize_from_env

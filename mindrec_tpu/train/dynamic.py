@@ -22,8 +22,6 @@ reference's dynamic-embedding mode
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from mindrec_tpu.native.hashstore import HashStore
 from mindrec_tpu.ops.embedding import read_rows, write_rows

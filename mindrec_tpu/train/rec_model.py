@@ -24,7 +24,7 @@ reference's compiled sink graph.
 from __future__ import annotations
 
 import sys
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
 import numpy as np

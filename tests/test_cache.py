@@ -96,7 +96,6 @@ def test_cached_table_end_to_end(tmp_path):
     # only materialize touched rows (RAM array is ram_rows; SSD is sparse
     # file). ram cap 100 rows here.
     arena = tab.init_arena()
-    m_arena = tab.init_state_arena("m")
 
     big_ids = np.array([5, 7_000_000_000, 12, 5])
     prep = tab.prepare(big_ids)
@@ -125,3 +124,43 @@ def test_cached_table_end_to_end(tmp_path):
     assert 5 in prep3["load_rows"]["param"][0] or True
     got = prep3["load_rows"]["param"][0]
     np.testing.assert_allclose(got, row5, rtol=1e-6)
+
+
+@pytest.mark.parametrize("prefer_native", [False, True], ids=["py", "native"])
+def test_cached_table_flush_all(tmp_path, prefer_native):
+    """flush_all must persist every RESIDENT row (and state arenas) to
+    the host tiers with BOTH LRU backends — regression for the native-LRU
+    silent zero-row flush."""
+    from mindrec_tpu.ops.cache import LruCache, NativeLruCache
+
+    D, C = 4, 8
+    tab = CachedEmbeddingTable(
+        vocab_size=1000, dim=D, cache_rows=C, max_swap=8,
+        spill_dir=str(tmp_path), state_names=("m",),
+    )
+    tab.lru = LruCache(C, prefer_native=prefer_native)
+    if prefer_native and not isinstance(tab.lru, NativeLruCache):
+        pytest.skip("native LRU not built")
+    arena = tab.init_arena()
+    m_arena = tab.init_state_arena("m")
+
+    ids = np.array([3, 42, 7])
+    prep = tab.prepare(ids)
+    slots = prep["slots"]
+    arena, _ = cache_swap(
+        arena, prep["evict_slots"], prep["load_slots"],
+        jnp.asarray(prep["load_rows"]["param"]),
+    )
+    arena = arena.at[slots].set(
+        jnp.arange(len(ids) * D, dtype=jnp.float32).reshape(len(ids), D)
+    )
+    m_arena = m_arena.at[slots].set(0.5)
+
+    tab.flush_all(arena, {"m": m_arena})
+
+    got = tab.param_tier.read(ids)
+    np.testing.assert_allclose(
+        got, np.arange(len(ids) * D, dtype=np.float32).reshape(len(ids), D)
+    )
+    got_m = tab.state_tiers["m"].read(ids)
+    np.testing.assert_allclose(got_m, 0.5)

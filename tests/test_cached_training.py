@@ -12,10 +12,9 @@ bug (RELEASE.md:6).
 import numpy as np
 import pytest
 
-import jax
 
 from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
-from mindrec_tpu.ops.embedding import read_rows
+
 from mindrec_tpu.train import optim
 from mindrec_tpu.train.cached import CachedTrainingAdapter, cached_train_step
 from mindrec_tpu.train.step import init_train_state, make_train_step

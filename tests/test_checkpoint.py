@@ -2,7 +2,6 @@
 checkpoint/resume parity rows)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

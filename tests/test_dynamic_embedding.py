@@ -93,7 +93,7 @@ def test_incremental_export_import_roundtrip():
     ad = DynamicEmbeddingAdapter(capacity=CAP)
     model = WideDeepModel(CFG)
     state = init_train_state(model, jax.random.PRNGKey(0), optim.ftrl(), optim.adam())
-    b = ad.transform_batch(_raw_batch(5))
+    ad.transform_batch(_raw_batch(5))  # touch keys so they admit
     blob = ad.export_tables(state.params, TABLES)
     assert blob["__keys__"].size > 0
 

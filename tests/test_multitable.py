@@ -2,7 +2,6 @@
 training, grouped MAP metric integration."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mindrec_tpu.models.multitable import (

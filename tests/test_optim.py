@@ -1,9 +1,7 @@
 """Optimizer unit tests: dense/sparse consistency, FTRL/Adam behavior."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mindrec_tpu.train import optim
 

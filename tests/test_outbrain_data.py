@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from mindrec_tpu.data.outbrain import (
-    COLUMNS,
     OutbrainTFRecordDataset,
     compute_emb_dim,
     write_outbrain_tfrecords,

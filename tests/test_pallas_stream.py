@@ -2,10 +2,8 @@
 reference implementations — interpret mode on CPU.  Feature-major
 [Dp, Vc] storage throughout."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mindrec_tpu.ops.pallas.stream_update import (
     make_aug_grads,

@@ -4,7 +4,6 @@
 import numpy as np
 
 from mindrec_tpu.data.preprocess import (
-    CAT_COUNT_THRESHOLD,
     N_CAT,
     N_DENSE,
     CriteoStats,

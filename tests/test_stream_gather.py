@@ -1,7 +1,6 @@
 """Streamed gather kernel vs native gather (interpret mode) —
 feature-major [Dp, Vc] storage."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,7 +4,6 @@ semantics parity (sink_size validation, unbounded loop, checkpoints)."""
 import numpy as np
 import pytest
 
-import jax
 
 from mindrec_tpu import RecModel
 from mindrec_tpu.data.criteo import SyntheticCriteo

@@ -2,7 +2,6 @@
 loss decrease, end-to-end AUC learnability on synthetic criteo."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
