@@ -53,6 +53,15 @@ def main():
         "traffic by a third; arithmetic stays f32 "
         "(quality gate: tests/test_optim.py::test_adam_bf16_state_tracks_f32)",
     )
+    ap.add_argument(
+        "--row-layout", type=lambda s: s.lower() == "true", default=True,
+        help="row-major unique buffer + 512-byte-row order crossings",
+    )
+    ap.add_argument(
+        "--unique-bucket", type=int, default=0,
+        help="static distinct-ids-per-batch bound; 0 = derive from the "
+        "benchmark batches (x1.2 headroom)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -79,12 +88,24 @@ def main():
     opt_d = optim.lazy_adam(
         loss_scale=cfg.loss_scale, state_dtype=getattr(_jnp, args.state_dtype)
     )
-    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
-    step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
-
     data = SyntheticCriteo(
         cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0,
         fields=args.fields,
+    )
+    bucket = args.unique_bucket or None
+    if not args.dense and bucket is None:
+        import numpy as _np
+
+        max_u = max(
+            _np.unique(_np.asarray(data.get_batch(s)["ids"])).size
+            for s in range(8)
+        )
+        bucket = int(max_u * 1.2)
+
+    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
+    step = make_train_step(
+        model, opt_w, opt_d, jit=True, donate=True,
+        row_layout=args.row_layout, unique_bucket=bucket,
     )
     batches = [
         {k: jax.device_put(v) for k, v in data.get_batch(s).items()}

@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--sparse", action="store_true",
                     help="row-sparse table path (tables small enough "
                     "here that the dense-grad path is competitive)")
+    ap.add_argument("--row-layout", type=lambda s: s.lower() == "true",
+                    default=True, help="row-major unique buffer + 512B-row "
+                    "crossings (see make_train_step)")
+    ap.add_argument("--unique-bucket", type=int, default=131072,
+                    help="static distinct-ids-per-batch bound (criteo "
+                    "traffic at bs 16000 uses ~56k)")
     args = ap.parse_args()
 
     import jax
@@ -76,19 +82,42 @@ def main():
         state_dtype=jnp.bfloat16,
     )
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt)
-    step = make_train_step(model, opt_w, opt, jit=True, donate=True)
+    step = make_train_step(
+        model, opt_w, opt, jit=True, donate=True,
+        row_layout=args.row_layout, unique_bucket=args.unique_bucket,
+    )
 
     data = SyntheticCriteo(
         cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0,
         fields="criteo",
     )
-    prep = make_batch_sort(cfg.field_size)
-    batches = []
-    for s in range(8):
-        b = data.get_batch(s)
-        if args.sparse:
-            b = prep(b)
-        batches.append({k: jax.device_put(v) for k, v in b.items()})
+    batches = [
+        {k: jax.device_put(v) for k, v in data.get_batch(s).items()}
+        for s in range(8)
+    ]
+
+    # production runs make_batch_sort on a host worker thread overlapped
+    # with the device step (train/step.py); through the dev tunnel the
+    # upload of the sorted arrays is too slow, so compute them on-device
+    # once per batch outside the timed loop (same arrays, same layout)
+    if args.sparse:
+        @jax.jit
+        def _prep(ids):
+            n = ids.size
+            iota = jnp.arange(n, dtype=jnp.int32)
+            sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
+            _, inv = jax.lax.sort_key_val(perm, iota)
+            newv = jnp.concatenate(
+                [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+            )
+            uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+            uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
+            return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted
+
+        for b in batches:
+            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"],
+             b["uidx_sorted"]) = _prep(b["ids"])
+        float(batches[-1]["inv"][0])  # fence
 
     for i in range(args.warmup):
         state, losses = step(state, batches[i % 8])

@@ -124,6 +124,50 @@ def write_outbrain_tfrecords(
     return paths
 
 
+class SyntheticOutbrain:
+    """Deterministic synthetic Outbrain-shaped batches (model-ready dicts,
+    same keys the TFRecord path produces) for entrypoints/benchmarks when
+    the real dataset is unavailable.  Labels follow a planted logistic
+    model over a few feature embeddings so training has signal."""
+
+    def __init__(self, cfg, steps: int, seed: int = 0):
+        self.cfg = cfg
+        self.steps = steps
+        self.seed = seed
+
+    def __iter__(self):
+        from mindrec_tpu.models.multitable import MULTI_FIELDS
+
+        c = self.cfg
+        B = c.batch_size
+        for s in range(self.steps):
+            rng = np.random.default_rng(self.seed * 100_003 + s)
+            b = {
+                "continue_val": rng.uniform(size=(B, c.continue_field_size)).astype(np.float32),
+                "indicator_id": rng.integers(0, c.indicator_size, (B, c.indicator_field_size)).astype(np.int32),
+                "emb_128_id": rng.integers(0, c.emb_128_size, (B, c.emb128_field_size)).astype(np.int32),
+                "emb_64_single_id": rng.integers(0, c.emb64_single_size, (B, c.emb64_single_field_size)).astype(np.int32),
+                "display_id": np.repeat(
+                    np.arange((B + 3) // 4, dtype=np.int32), 4
+                )[:B],
+            }
+            for name, L in zip(MULTI_FIELDS, c.multi_hot_sizes):
+                b[f"multi_{name}_id"] = rng.integers(0, c.emb64_multi_size, (B, L)).astype(np.int32)
+                lens = rng.integers(1, L + 1, B)
+                b[f"multi_{name}_mask"] = (
+                    np.arange(L)[None, :] < lens[:, None]
+                ).astype(np.float32)
+            # planted signal: label depends on a hashed mix of a few ids
+            z = (
+                0.8 * np.sin(b["emb_128_id"][:, 0] * 0.37)
+                + 0.6 * np.cos(b["emb_64_single_id"][:, 0] * 0.11)
+                + 0.4 * (b["continue_val"][:, 0] - 0.5)
+            )
+            p = 1.0 / (1.0 + np.exp(-z))
+            b["label"] = (rng.uniform(size=B) < p).astype(np.float32)[:, None]
+            yield b
+
+
 class OutbrainTFRecordDataset:
     """Iterate the Outbrain TFRecords as model-ready batches.
 

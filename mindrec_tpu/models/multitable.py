@@ -68,6 +68,8 @@ class MultiTableConfig:
     ftrl_lr: float = 5e-2
     adam_lr: float = 3.5e-4
     init_args: tuple = (-0.01, 0.01)
+    sparse: bool = False  # row-sparse grads + lazy optimizers on all 8 tables
+    emb128_slice_mode: str = "none"  # shard the 650k-row table over "model"
 
     @property
     def input_emb_dim(self) -> int:
@@ -86,12 +88,14 @@ class MultiTableWideDeepModel:
     def __init__(self, config: MultiTableConfig, mesh=None):
         self.config = config
         c = config
-        mk = lambda name, vocab, dim: EmbeddingLookup(
+        mk = lambda name, vocab, dim, slice_mode="none": EmbeddingLookup(
             EmbeddingTableSpec(vocab_size=vocab, emb_dim=dim, name=name,
-                               init_args=c.init_args),
+                               init_args=c.init_args, sparse=c.sparse,
+                               slice_mode=slice_mode),
             mesh,
         )
-        self.emb128 = mk("emb128_embedding", c.emb_128_size, 128)
+        self.emb128 = mk("emb128_embedding", c.emb_128_size, 128,
+                         c.emb128_slice_mode)
         self.emb64_single = mk("emb64_single", c.emb64_single_size, 64)
         self.emb64_multi = mk("emb64_multi", c.emb64_multi_size, 64)
         self.emb64_indicator = mk("emb64_indicator", c.indicator_size, 64)
@@ -103,6 +107,44 @@ class MultiTableWideDeepModel:
         dims = [c.input_emb_dim, *c.deep_layer_dim, 1]
         self.mlp_dims = list(zip(dims[:-1], dims[1:]))
         self.act = ACTS[c.deep_layer_act]
+
+    # -- sparse-path wiring (train/step.py) -----------------------------
+    # 8 tables over 4 distinct id spaces: the step sorts/uniques each id
+    # group once and row-sparse-updates every table in the group
+    # (reference multitable construct consumes 21 separate id columns —
+    # ``wide_and_deep_multitable/src/wide_and_deep.py:271-349``).
+    @property
+    def table_specs(self):
+        return {
+            "emb128": (("deep", "emb128"), self.emb128.spec),
+            "emb64_single": (("deep", "emb64_single"), self.emb64_single.spec),
+            "emb64_multi": (("deep", "emb64_multi"), self.emb64_multi.spec),
+            "emb64_indicator": (
+                ("deep", "emb64_indicator"), self.emb64_indicator.spec
+            ),
+            "w128": (("wide", "emb128_w"), self.w128.spec),
+            "w64_single": (("wide", "emb64_single_w"), self.w64_single.spec),
+            "w64_multi": (("wide", "emb64_multi_w"), self.w64_multi.spec),
+            "w_indicator": (("wide", "indicator_w"), self.w_indicator.spec),
+        }
+
+    @property
+    def table_groups(self):
+        return {
+            "indicator": {
+                "keys": ("indicator_id",),
+                "tables": ("emb64_indicator", "w_indicator"),
+            },
+            "emb128": {"keys": ("emb_128_id",), "tables": ("emb128", "w128")},
+            "emb64_single": {
+                "keys": ("emb_64_single_id",),
+                "tables": ("emb64_single", "w64_single"),
+            },
+            "multi": {
+                "keys": tuple(f"multi_{n}_id" for n in MULTI_FIELDS),
+                "tables": ("emb64_multi", "w64_multi"),
+            },
+        }
 
     def init(self, key) -> dict:
         c = self.config
@@ -180,6 +222,65 @@ class MultiTableWideDeepModel:
 
     def apply_batch(self, params, batch, train=False, rng=None):
         return self.apply(params, batch, train, rng)
+
+    def apply_rows_batch(self, params, rows, batch, train=False, rng=None):
+        """Forward from pre-gathered rows (the sparse step's entry).
+
+        ``rows`` is keyed by table name (see :attr:`table_specs`):
+        deep tables give ``[B, F_g, D]``, wide tables ``[B, F_g, 1]``;
+        the "multi" group's ``F_g`` is the concatenation of the 6
+        multi-hot fields in ``MULTI_FIELDS`` order.
+        """
+        c = self.config
+        w = params["wide"]
+        B = batch["continue_val"].shape[0]
+
+        # ---- deep tower ---------------------------------------------
+        ind_emb = rows["emb64_indicator"].reshape(B, -1)
+        e128 = rows["emb128"].reshape(B, -1)
+        e64s = rows["emb64_single"].reshape(B, -1)
+        pooled = []
+        off = 0
+        multi = rows["emb64_multi"]  # [B, sum(Lk), 64]
+        for name, lk in zip(MULTI_FIELDS, c.multi_hot_sizes):
+            mask = batch[f"multi_{name}_mask"]
+            emb = multi[:, off : off + lk]
+            off += lk
+            # reference: masked multiply, mean over the FULL hot dim
+            pooled.append(
+                jnp.mean(emb * mask[:, :, None].astype(emb.dtype), axis=1,
+                         dtype=jnp.float32)
+            )
+        deep_in = jnp.concatenate(
+            [batch["continue_val"], ind_emb, e128, e64s, *pooled], axis=1
+        )
+        deep_out = self._mlp(params["deep"]["mlp"], deep_in, train, rng)
+
+        # ---- wide tower ---------------------------------------------
+        val_w = jnp.sum(
+            batch["continue_val"] * w["continue_w"][None, :], axis=1,
+            keepdims=True,
+        )
+        ind_w = jnp.sum(rows["w_indicator"], axis=(1, 2),
+                        dtype=jnp.float32)[:, None]
+        w128 = jnp.sum(rows["w128"], axis=(1, 2), dtype=jnp.float32)[:, None]
+        w64s = jnp.sum(rows["w64_single"], axis=(1, 2),
+                       dtype=jnp.float32)[:, None]
+        wm = 0.0
+        off = 0
+        # folded [V,1] tables deliver [B, F, fold] rows with only the
+        # owning sublane nonzero — sum the last axis, never slice it
+        wmulti = jnp.sum(rows["w64_multi"], axis=-1)  # [B, sum(Lk)]
+        for name, lk in zip(MULTI_FIELDS, c.multi_hot_sizes):
+            mask = batch[f"multi_{name}_mask"]
+            ws = wmulti[:, off : off + lk]
+            off += lk
+            wm = wm + jnp.sum(
+                ws * mask.astype(ws.dtype), axis=1, keepdims=True,
+                dtype=jnp.float32,
+            )
+        wide_out = val_w + ind_w + w128 + w64s + wm + w["bias"]
+        return wide_out + deep_out.astype(jnp.float32)  # [B,1]
 
     def loss(self, params, logits, label):
         ce = jnp.mean(sigmoid_cross_entropy(logits, label))

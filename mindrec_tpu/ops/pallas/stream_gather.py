@@ -133,6 +133,138 @@ def _gather_kernel(starts_ref, cols_ref, table_ref, out_ref, colbuf, outbuf,
         wb_copy(nchunk - 1).wait()
 
 
+def chunk_schedule(cols_sorted, Vc: int, tile: int, chunk: int):
+    """Chunk-major static schedule: for every input chunk (in order), one
+    grid step per table tile its columns span.  Out blocks are indexed by
+    chunk, so Pallas keeps a chunk's block in VMEM across its 1..k tile
+    steps; table tiles are nondecreasing across the whole schedule, so
+    each tile is fetched at most once.
+
+    Returns (tile_of, chunkblk, flags, n_steps); flags bit0 = first step
+    of this chunk, bit1 = compute."""
+    n = cols_sorted.shape[0]
+    nchunks = n // chunk
+    ntiles = Vc // tile
+    S = nchunks + ntiles  # Σ (tiles spanned per chunk) ≤ nchunks + ntiles
+    n_real = jnp.searchsorted(
+        cols_sorted, jnp.asarray(Vc, cols_sorted.dtype)
+    ).astype(jnp.int32)
+    c_iota = jnp.arange(nchunks, dtype=jnp.int32)
+    first_col = cols_sorted[:: chunk]
+    last_idx = jnp.minimum((c_iota + 1) * chunk, n_real) - 1
+    last_col = cols_sorted[jnp.clip(last_idx, 0, n - 1)]
+    t_lo = jnp.clip(first_col // tile, 0, ntiles - 1)
+    t_hi = jnp.clip(last_col // tile, 0, ntiles - 1)
+    has = (c_iota * chunk) < n_real
+    cnt = jnp.where(has, t_hi - t_lo + 1, 0)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
+    total = offs[-1]
+    j = jnp.arange(S, dtype=jnp.int32)
+    valid = j < total
+    j_eff = jnp.where(valid, j, jnp.maximum(total - 1, 0))
+    c = jnp.clip(jnp.searchsorted(offs, j_eff, side="right") - 1, 0, nchunks - 1)
+    k = j_eff - offs[c]
+    t = t_lo[c] + k
+    first = (k == 0) & valid
+    flags = first.astype(jnp.int32) + 2 * valid.astype(jnp.int32)
+    return t.astype(jnp.int32), c.astype(jnp.int32), flags, S
+
+
+def _gather_rows_kernel(tile_of, chunkblk, flags, cols_ref, table_ref,
+                        base_ref, out_ref, *, tile, dp, lane_offset, width,
+                        dtype):
+    j = pl.program_id(0)
+    f = flags[j]
+    first = (f & 1) != 0
+    compute = (f & 2) != 0
+    lo = tile_of[j] * tile
+
+    @pl.when(first)
+    def _():
+        # carry the buffer's previous content (other tables' lanes /
+        # regions this table doesn't own)
+        out_ref[:, :] = base_ref[:, :]
+
+    @pl.when(compute)
+    def _():
+        cols_c = cols_ref[0, :]  # [chunk]
+        rel = cols_c - lo
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, rel.shape[0]), 0)
+        eq = t_iota == rel[None, :]  # [T, C]
+        # 32-bit intermediate: Mosaic can't minor-dim-expand i1 vectors
+        owned_f = jnp.max(eq.astype(jnp.float32), axis=0)  # [chunk]
+        P = eq.astype(dtype)
+        mine = jax.lax.dot_general(
+            P,
+            table_ref[:, :].astype(dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, Dp]
+        cur = out_ref[:, lane_offset : lane_offset + dp]
+        out_ref[:, lane_offset : lane_offset + dp] = jnp.where(
+            owned_f[:, None] > 0.0, mine, cur
+        )
+
+
+def streamed_gather_rows(
+    table: jnp.ndarray,
+    cols_sorted: jnp.ndarray,
+    base: jnp.ndarray,
+    *,
+    lane_offset: int = 0,
+    tile: int = DEFAULT_TILE,
+    chunk: int = DEFAULT_CHUNK,
+    matmul_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-major streamed gather: writes ``table[:, cols_sorted[j]]`` into
+    ``base[j, lane_offset : lane_offset + Dp]`` and returns the updated
+    buffer (``base`` is donated via input/output aliasing).
+
+    Multiple tables sharing one sorted unique-id stream each call this
+    with their own ``lane_offset``, filling one ``[U, width]`` f32 buffer
+    that the batch-order expansion then gathers ROW-wise — the layout the
+    TPU gathers fastest (512-byte rows), with no transpose step.
+
+    Args:
+      table: [Dp, Vc] f32 feature-major storage (Vc % tile == 0).
+      cols_sorted: [U] i32 ascending storage columns (sentinel-padded;
+        U % chunk == 0).
+      base: [U, width] f32 output buffer (width a lane multiple of 128).
+    Rows whose column is a sentinel (>= Vc) keep ``base``'s content.
+    """
+    dp, Vc = table.shape
+    U, width = base.shape
+    assert Vc % tile == 0, (Vc, tile)
+    assert U % chunk == 0, (U, chunk)
+    assert lane_offset + dp <= width, (lane_offset, dp, width)
+    cols_p = cols_sorted.astype(jnp.int32).reshape(1, -1)
+    tile_of, chunkblk, flags, S = chunk_schedule(
+        cols_sorted.astype(jnp.int32), Vc, tile, chunk
+    )
+    kernel = functools.partial(
+        _gather_rows_kernel, tile=tile, dp=dp, lane_offset=lane_offset,
+        width=width, dtype=matmul_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda j, t, c, f: (0, c[j])),  # cols
+            pl.BlockSpec((dp, tile), lambda j, t, c, f: (0, t[j])),  # table
+            pl.BlockSpec((chunk, width), lambda j, t, c, f: (c[j], 0)),  # base
+        ],
+        out_specs=pl.BlockSpec((chunk, width), lambda j, t, c, f: (c[j], 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((U, width), jnp.float32),
+        input_output_aliases={5: 0},  # base -> out (3 scalar-prefetch + 2)
+        interpret=interpret or _su.INTERPRET,
+    )(tile_of, chunkblk, flags, cols_p, table, base)
+
+
 def streamed_gather(
     table: jnp.ndarray,
     cols_sorted: jnp.ndarray,

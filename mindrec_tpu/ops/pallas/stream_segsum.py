@@ -35,7 +35,7 @@ DEFAULT_CHUNK = 256  # input columns combined per grid step
 
 
 def _segsum_kernel(chunk_of, blk_of, flags, uidx_ref, g_ref, out_ref, *,
-                   width, dtype):
+                   width, dtype, row_major):
     j = pl.program_id(0)
     f = flags[j]
     newblk = (f & 1) != 0
@@ -52,12 +52,20 @@ def _segsum_kernel(chunk_of, blk_of, flags, uidx_ref, g_ref, out_ref, *,
         rel = u - base
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (width, rel.shape[0]), 0)
         P = (w_iota == rel[None, :]).astype(dtype)  # [W, C]
-        out_ref[:, :] += jax.lax.dot_general(
-            g_ref[:, :].astype(dtype),
-            P,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if row_major:  # g block is [C, D]; contracting C leaves [D, W]
+            out_ref[:, :] += jax.lax.dot_general(
+                g_ref[:, :].astype(dtype),
+                P,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out_ref[:, :] += jax.lax.dot_general(
+                g_ref[:, :].astype(dtype),
+                P,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 def segsum_schedule(uidx_sorted, n_pad: int, width: int, chunk: int):
@@ -95,31 +103,52 @@ def streamed_segsum(
     width: int = DEFAULT_WIDTH,
     chunk: int = DEFAULT_CHUNK,
     matmul_dtype=jnp.bfloat16,
+    n_out: int | None = None,
+    row_major: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[:, u] = sum over columns n with uidx_sorted[n] == u of g[:, n].
+    """out[:, u] = sum of g's position-n slices with uidx_sorted[n] == u.
 
-    g: [D, N]; uidx_sorted: [N] i32 monotone, unit steps.  Returns
-    [D, N_pad] f32 with N_pad = N rounded up to ``width`` (the unique
-    count is at most N, so the output bound is static).
+    g: [D, N] (or [N, D] with ``row_major=True`` — the layout the
+    batch-order crossing gather produces, saving its transpose);
+    uidx_sorted: [N] i32 monotone, unit steps.  Returns [D, n_out] f32
+    (default n_out = N rounded up to ``width``; pass a smaller static
+    unique bound to shrink the output and downstream update streams —
+    segments at or past n_out must be empty).
     """
     assert width >= chunk, (width, chunk)
-    d, n = g.shape
+    if row_major:
+        n, d = g.shape
+    else:
+        d, n = g.shape
     pad = (-n) % chunk
-    n_out = (n + width - 1) // width * width
+    if n_out is None:
+        n_out = (n + width - 1) // width * width
+    assert n_out % width == 0, (n_out, width)
     if pad:
-        g = jnp.concatenate([g, jnp.zeros((d, pad), g.dtype)], axis=1)
+        zpad = (
+            jnp.zeros((pad, d), g.dtype) if row_major
+            else jnp.zeros((d, pad), g.dtype)
+        )
+        g = jnp.concatenate([g, zpad], axis=0 if row_major else 1)
         uidx_sorted = jnp.concatenate(
             [uidx_sorted, jnp.full((pad,), uidx_sorted[-1], jnp.int32)]
         )
     chunk_of, blk_of, flags, S = segsum_schedule(uidx_sorted, n_out, width, chunk)
-    kernel = functools.partial(_segsum_kernel, width=width, dtype=matmul_dtype)
+    kernel = functools.partial(
+        _segsum_kernel, width=width, dtype=matmul_dtype, row_major=row_major
+    )
+    g_spec = (
+        pl.BlockSpec((chunk, d), lambda j, c, b, f: (c[j], 0))
+        if row_major
+        else pl.BlockSpec((d, chunk), lambda j, c, b, f: (0, c[j]))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, chunk), lambda j, c, b, f: (0, c[j])),  # uidx
-            pl.BlockSpec((d, chunk), lambda j, c, b, f: (0, c[j])),  # grads
+            g_spec,  # grads
         ],
         out_specs=pl.BlockSpec((d, width), lambda j, c, b, f: (0, b[j])),
     )

@@ -74,7 +74,12 @@ class AUCMetric(Metric):
 
 class GroupedMapMetric(Metric):
     """MAP@K grouped by a display/group id (reference Outbrain MAP@12,
-    ``models/wide_and_deep_multitable/src/metrics.py:51-107``)."""
+    ``models/wide_and_deep_multitable/src/metrics.py:51-107``).
+
+    ``needs`` declares the extra batch columns ``RecModel.eval`` must
+    pass to :meth:`update` after (probs, labels)."""
+
+    needs = ("display_id",)
 
     def __init__(self, k: int = 12):
         self.k = k

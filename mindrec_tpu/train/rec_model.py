@@ -191,7 +191,10 @@ class RecModel:
             probs, labels = self.eval_step(self.state.params, batch)
             probs, labels = np.asarray(probs), np.asarray(labels)
             for m in metrics.values():
-                m.update(probs, labels)
+                # metrics may declare extra batch columns (e.g. the
+                # grouped MAP@12 needs display_id) via a `needs` attr
+                extra = [np.asarray(batch[k]) for k in getattr(m, "needs", ())]
+                m.update(probs, labels, *extra)
         return {name: m.eval() for name, m in metrics.items()}
 
     # ------------------------------------------------------------------

@@ -134,6 +134,12 @@ def _fold_mask(dp: int, dim: int, sub: jnp.ndarray, dtype) -> jnp.ndarray:
     return (p_row == sub[None, :]).astype(dtype)
 
 
+def _fold_mask_rows(dp: int, dim: int, sub: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Row-major twin of :func:`_fold_mask`: [N, Dp] one-hot."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub.shape[0], dp), 1) // dim
+    return (lane == sub[:, None]).astype(dtype)
+
+
 def _expand_touch_jnp(touch, dp: int, dim: int, fold: int):
     """Generic-backend version of the kernels' touch expansion:
     [U, 8] touch columns -> [U, Dp] bool mask (note: row-major here)."""
@@ -232,11 +238,26 @@ def make_train_step(
     use_pallas: bool | None = None,
     check_overflow: bool = False,
     matmul_dtype=None,
+    row_layout: bool = True,
+    unique_bucket: int | None = None,
 ):
     """Build ``step(state, batch) -> (state, (loss_w, loss_d))``.
 
     ``batch``: dict with ``ids [B,F] int32``, ``wts [B,F] f32``,
     ``label [B,1] f32`` (criteo layout).
+
+    ``row_layout`` (pallas path): gather unique rows into ONE row-major
+    ``[U, 128k]`` f32 buffer (``streamed_gather_rows``) so the two
+    batch<->sorted order crossings run as 512-byte-row gathers — the
+    fastest gather shape on TPU (measured: [624k,128] f32 3.75 ms vs
+    [624k,88] bf16 5.6 ms) — and no transpose step exists on either
+    side (the backward feeds ``streamed_segsum(row_major=True)``).
+
+    ``unique_bucket``: static upper bound on DISTINCT ids per batch
+    (row_layout only).  Defaults to the lossless B*F; smaller buckets
+    shrink the unique buffer, the streamed gathers and the update
+    streams — the caller guarantees the batch never exceeds it (same
+    contract as the cache adapter's ``max_swap``).
     """
     cfg = model.config
     if sparse is None:
@@ -248,10 +269,23 @@ def make_train_step(
     )
     table_specs = getattr(model, "table_specs", {}) if sparse else {}
     table_keys = {"/".join(path): (name, path, spec) for name, (path, spec) in table_specs.items()}
+    # id groups: tables sharing one id space.  Criteo models have a single
+    # group fed by batch["ids"]; the multitable model declares one group
+    # per id space (reference multitable construct consumes 21 separate
+    # id columns — wide_and_deep_multitable/src/wide_and_deep.py:271-349).
+    table_groups = getattr(model, "table_groups", None) or {
+        "_default": {"keys": ("ids",), "tables": tuple(table_specs)}
+    }
+    multi_group = len(table_groups) > 1 or "_default" not in table_groups
     if use_pallas is None:
         # the streamed kernels target TPU; the generic gather/scatter path
         # is faster to compile (and fine) on CPU test meshes
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() not in ("cpu",) and not multi_group
+    if multi_group and use_pallas:
+        raise NotImplementedError(
+            "the streamed-kernel path currently handles single-id-group "
+            "models; pass use_pallas=False for multi-group models"
+        )
     if matmul_dtype is None:
         matmul_dtype = jnp.bfloat16
 
@@ -352,10 +386,62 @@ def make_train_step(
 
         rng, sub_rng = jax.random.split(state.rng)
         params = state.params
-        ids = batch["ids"]
+        # per-group id tensors: [B, F_g] (concat of the group's batch keys)
+        ids_by_group = {}
+        for g, info in table_groups.items():
+            parts = [batch[k] for k in info["keys"]]
+            B = int(parts[0].shape[0])
+            ids_by_group[g] = (
+                parts[0] if len(parts) == 1
+                else jnp.concatenate([p.reshape(B, -1) for p in parts], axis=1)
+            )
+        group_of = {
+            t: g for g, info in table_groups.items() for t in info["tables"]
+        }
+        ids = ids_by_group.get("_default", next(iter(ids_by_group.values())))
         B, F = int(ids.shape[0]), int(ids.shape[1])
         n_pos = B * F
         flat_ids = ids.reshape(-1)
+
+        def call_rows(params, rows):
+            if hasattr(model, "apply_rows_batch"):
+                return model.apply_rows_batch(
+                    params, rows, batch, train=True, rng=sub_rng
+                )
+            return model.apply_rows(
+                params, rows, batch["wts"], train=True, rng=sub_rng
+            )
+
+        def _finish_sparse(params, grads, col_grads, uq_cols, sub_uq, state,
+                           loss_w, loss_d, rng, gcheck):
+            """Shared pallas-path tail: dense updates + per-table streamed
+            column-sparse optimizer updates + overflow guard."""
+            params2, opt_w_state, opt_d_state = apply_updates(
+                params, grads, state.opt_w, state.opt_d,
+                skip_keys=set(table_keys),
+            )
+            for key, (name, path, spec) in table_keys.items():
+                table = get_table(params, path)
+                opt = opt_w if is_wide_key(key) else opt_d
+                opt_state = opt_w_state if is_wide_key(key) else opt_d_state
+                g_aug = make_aug_grads(col_grads[name], sub_uq[name])
+                new_table, new_sub = _streamed_table_update(
+                    opt, g_aug, uq_cols[name], opt_state[key], table, spec,
+                    matmul_dtype=matmul_dtype,
+                )
+                if is_wide_key(key):
+                    opt_w_state = {**opt_w_state, key: new_sub}
+                else:
+                    opt_d_state = {**opt_d_state, key: new_sub}
+                params2 = _set_table(params2, path, new_table)
+            new_state = TrainState(
+                params2, opt_w_state, opt_d_state, state.step + 1, rng
+            )
+            if check_overflow:
+                new_state = _guard(
+                    _grads_finite(grads, gcheck), new_state, state
+                )
+            return new_state, (loss_w, loss_d)
 
         if use_pallas:
             from mindrec_tpu.ops.pallas.stream_gather import streamed_gather
@@ -396,6 +482,110 @@ def make_train_step(
                     jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2))
                 )
                 uidx_batch = uidx_sorted[inv]
+            if row_layout:
+                from mindrec_tpu.ops.pallas.stream_gather import (
+                    streamed_gather_rows,
+                )
+
+                # static unique bucket (lossless default: every position
+                # distinct), rounded so the segsum/update tiles divide it
+                ub = unique_bucket if unique_bucket is not None else n_pos
+                ub = (ub + 2047) // 2048 * 2048
+                if ub <= n_pos:
+                    uq_b = uq_ids[:ub]
+                else:
+                    uq_b = jnp.concatenate([
+                        uq_ids,
+                        jnp.full((ub - n_pos,), jnp.int32(2**31 - 2)),
+                    ])
+                # lane layout: each table's full sublane block side by side
+                offs, off = {}, 0
+                for name, (path, spec) in table_specs.items():
+                    offs[name] = off
+                    off += get_table(params, path).shape[0]
+                width = max(128, -(-off // 128) * 128)
+                sub_uq = {}
+                uq_cols = {}
+                buf = jnp.zeros((ub, width), jnp.float32)
+                for name, (path, spec) in table_specs.items():
+                    table = get_table(params, path)
+                    r = spec.fold
+                    uq_cols[name] = uq_b // r if r > 1 else uq_b
+                    sub_uq[name] = uq_b % r if r > 1 else None
+                    tl = _pick_tile(table.shape[1], dp=table.shape[0])
+                    buf = streamed_gather_rows(
+                        table, uq_cols[name], buf, lane_offset=offs[name],
+                        tile=tl, matmul_dtype=matmul_dtype,
+                    )
+
+                dpf_of = {
+                    name: get_table(params, path).shape[0]
+                    for name, (path, _) in table_specs.items()
+                }
+
+                def reorder_all_rows(buf, pos_delta):
+                    # ONE 512-byte-row f32 gather expands unique rows to
+                    # batch order; pos_delta is the differentiation point
+                    # (the expansion is stop_gradient'ed, so the backward
+                    # emits batch-order per-position grads directly)
+                    rows_pos = (
+                        jax.lax.stop_gradient(buf)[uidx_batch].astype(
+                            matmul_dtype
+                        )
+                        + pos_delta
+                    )  # [N, width]
+                    rows = {}
+                    for name, (path, spec) in table_specs.items():
+                        o = offs[name]
+                        r = rows_pos[:, o : o + dpf_of[name]]
+                        if spec.fold > 1:
+                            sub_pos = flat_ids % spec.fold
+                            r = r * _fold_mask_rows(
+                                dpf_of[name], spec.emb_dim, sub_pos, r.dtype
+                            )
+                        else:
+                            r = r[:, : spec.emb_dim]  # drop sublane padding
+                        rows[name] = r.reshape(B, F, -1)
+                    return rows
+
+                def loss_fn(params, pos_delta):
+                    rows = reorder_all_rows(buf, pos_delta)
+                    logits = call_rows(params, rows)
+                    loss_w, loss_d = model.loss(params, logits, batch["label"])
+                    return loss_d * sens, (loss_w, loss_d)
+
+                pos_delta = jnp.zeros((n_pos, width), matmul_dtype)
+                (grads, g_delta), (loss_w, loss_d) = jax.grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(params, pos_delta)
+                # batch-order grads -> sorted order (the mirror 512B-row
+                # gather), then the row-major streamed segment-sum folds
+                # duplicates; no transpose on either side
+                from mindrec_tpu.ops.pallas.stream_segsum import (
+                    streamed_segsum,
+                )
+
+                g_sorted = g_delta[perm]  # [N, width]
+                g_uq_all = streamed_segsum(
+                    g_sorted, uidx_sorted, row_major=True, n_out=ub,
+                    matmul_dtype=matmul_dtype,
+                )  # [width, ub] f32
+                col_grads = {}
+                for name, (path, spec) in table_specs.items():
+                    o = offs[name]
+                    g = g_uq_all[o : o + dpf_of[name]]
+                    if spec.fold > 1:
+                        # defensive re-mask (grads are already masked by
+                        # the forward's position fold mask)
+                        g = g * _fold_mask(
+                            dpf_of[name], spec.emb_dim, sub_uq[name], g.dtype
+                        )
+                    col_grads[name] = g
+                return _finish_sparse(
+                    params, grads, col_grads, uq_cols, sub_uq, state,
+                    loss_w, loss_d, rng, g_delta,
+                )
+
             rows_in = {}
             sub_uq = {}
             uq_cols = {}
@@ -457,11 +647,12 @@ def make_train_step(
             cols_flat = {}
             for name, (path, spec) in table_specs.items():
                 table = get_table(params, path)
+                gflat = ids_by_group[group_of[name]].reshape(-1)
                 r = spec.fold
-                cols = flat_ids // r if r > 1 else flat_ids
+                cols = gflat // r if r > 1 else gflat
                 cols_flat[name] = cols
-                sub_flat[name] = flat_ids % r if r > 1 else None
-                rows_in[name] = jnp.take(table, cols, axis=1)  # (Dp, N)
+                sub_flat[name] = gflat % r if r > 1 else None
+                rows_in[name] = jnp.take(table, cols, axis=1)  # (Dp, N_g)
 
             def reorder_all(rows_in):
                 rows = {}
@@ -473,16 +664,15 @@ def make_train_step(
                         )
                     else:
                         r = r[: spec.emb_dim]  # drop sublane padding
-                    rows[name] = r.T.reshape(B, F, r.shape[0])
+                    f_g = ids_by_group[group_of[name]].shape[1]
+                    rows[name] = r.T.reshape(B, f_g, r.shape[0])
                 return rows
 
         if use_pallas:
 
             def loss_fn(params, pos_delta):
                 rows = reorder_all(rows_in, pos_delta)
-                logits = model.apply_rows(
-                    params, rows, batch["wts"], train=True, rng=sub_rng
-                )
+                logits = call_rows(params, rows)
                 loss_w, loss_d = model.loss(params, logits, batch["label"])
                 return loss_d * sens, (loss_w, loss_d)
 
@@ -516,13 +706,15 @@ def make_train_step(
                         [g, jnp.zeros((dp_full - dn, n_pos), g.dtype)]
                     )
                 col_grads[name] = g
+            return _finish_sparse(
+                params, grads, col_grads, uq_cols, sub_uq, state,
+                loss_w, loss_d, rng, g_delta,
+            )
         else:
 
             def loss_fn(params, rows_in):
                 rows = reorder_all(rows_in)
-                logits = model.apply_rows(
-                    params, rows, batch["wts"], train=True, rng=sub_rng
-                )
+                logits = call_rows(params, rows)
                 loss_w, loss_d = model.loss(params, logits, batch["label"])
                 return loss_d * sens, (loss_w, loss_d)
 
@@ -539,33 +731,27 @@ def make_train_step(
             table = get_table(params, path)
             opt = opt_w if is_wide_key(key) else opt_d
             opt_state = opt_w_state if is_wide_key(key) else opt_d_state
-            g = col_grads[name]  # (Dp, N): unique cols (pallas) / flat
-            if use_pallas:
-                g_aug = make_aug_grads(g, sub_uq[name])
-                new_table, new_sub = _streamed_table_update(
-                    opt, g_aug, uq_cols[name], opt_state[key], table, spec,
-                    matmul_dtype=matmul_dtype,
-                )
-            else:
-                g_aug = make_aug_grads(g, sub_flat[name])
-                # fill target = last storage column: guaranteed free of
-                # trainable ids (spec reserves >= 7 spare rows past the
-                # dummy), so the where(touch, new, old) scatter-set of
-                # fill duplicates can never clobber a real update
-                uq = unique_pad(
-                    cols_flat[name], size=n_pos,
-                    fill_value=table.shape[1] - 1,
-                )
-                summed = jax.ops.segment_sum(
-                    g_aug.T, uq.inverse.reshape(-1), num_segments=n_pos
-                )  # [U, Dp+8]
-                dp = table.shape[0]
-                touch = _expand_touch_jnp(
-                    summed[:, dp:], dp, spec.emb_dim, spec.fold
-                )  # [U, Dp] bool
-                new_table, new_sub = opt.update_cols(
-                    summed[:, :dp].T, uq.ids, touch.T, opt_state[key], table
-                )
+            g = col_grads[name]  # (Dp, N_g) per-position grads
+            g_aug = make_aug_grads(g, sub_flat[name])
+            # fill target = last storage column: guaranteed free of
+            # trainable ids (spec reserves >= 7 spare rows past the
+            # dummy), so the where(touch, new, old) scatter-set of
+            # fill duplicates can never clobber a real update
+            n_g = int(cols_flat[name].shape[0])
+            uq = unique_pad(
+                cols_flat[name], size=n_g,
+                fill_value=table.shape[1] - 1,
+            )
+            summed = jax.ops.segment_sum(
+                g_aug.T, uq.inverse.reshape(-1), num_segments=n_g
+            )  # [U, Dp+8]
+            dp = table.shape[0]
+            touch = _expand_touch_jnp(
+                summed[:, dp:], dp, spec.emb_dim, spec.fold
+            )  # [U, Dp] bool
+            new_table, new_sub = opt.update_cols(
+                summed[:, :dp].T, uq.ids, touch.T, opt_state[key], table
+            )
             if is_wide_key(key):
                 opt_w_state = {**opt_w_state, key: new_sub}
             else:
@@ -574,10 +760,7 @@ def make_train_step(
 
         new_state = TrainState(params2, opt_w_state, opt_d_state, state.step + 1, rng)
         if check_overflow:
-            # pallas path: col_grads' sentinel tail is unwritten kernel
-            # output; check the per-position grads instead
-            gcheck = g_delta if use_pallas else col_grads
-            new_state = _guard(_grads_finite(grads, gcheck), new_state, state)
+            new_state = _guard(_grads_finite(grads, col_grads), new_state, state)
         return new_state, (loss_w, loss_d)
 
     step = sparse_step if sparse else dense_step

@@ -2,6 +2,7 @@
 training, grouped MAP metric integration."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mindrec_tpu.models.multitable import (
@@ -95,3 +96,130 @@ def test_eval_with_grouped_map():
     m.update(probs, b["label"], b["display_id"])
     v = m.eval()
     assert 0.0 <= v <= 1.0
+
+
+def _flatten(params):
+    from mindrec_tpu.train.step import flatten_params
+
+    return flatten_params(params)[0]
+
+
+def test_sparse_step_matches_dense_step():
+    """Row-sparse multi-group training == the dense-grad step on every
+    TOUCHED row (bit-parity standard), with the documented lazy-vs-dense
+    FTRL difference on untouched rows: dense FTRL recomputes w from
+    (accum, linear) and so zeroes never-touched rows, while the lazy
+    sparse path leaves them at init — the reference's own
+    dense-optimizer vs IndexedSlices split behaves identically."""
+    import dataclasses
+
+    from mindrec_tpu.ops.embedding import from_storage
+
+    cfg_d = dataclasses.replace(CFG, sparse=False)
+    cfg_s = dataclasses.replace(CFG, sparse=True)
+    opts = lambda: (
+        optim.ftrl(learning_rate=5e-2, l1=5e-4, l2=5e-4, initial_accum=0.1, loss_scale=1.0),
+        optim.adam(learning_rate=1e-3, eps=1e-6, loss_scale=1.0),
+    )
+    batches = [_batch(CFG, seed=s) for s in (5, 6)]
+
+    # per-group touched logical ids
+    group_ids = {
+        "indicator": np.unique([b["indicator_id"] for b in batches]),
+        "emb128": np.unique([b["emb_128_id"] for b in batches]),
+        "emb64_single": np.unique([b["emb_64_single_id"] for b in batches]),
+        "multi": np.unique(
+            np.concatenate(
+                [b[f"multi_{n}_id"].reshape(-1) for b in batches for n in MULTI_FIELDS]
+            )
+        ),
+    }
+    table_group = {
+        "emb64_indicator": "indicator", "w_indicator": "indicator",
+        "emb128": "emb128", "w128": "emb128",
+        "emb64_single": "emb64_single", "w64_single": "emb64_single",
+        "emb64_multi": "multi", "w64_multi": "multi",
+    }
+
+    results = {}
+    for tag, cfg in (("dense", cfg_d), ("sparse", cfg_s)):
+        model = MultiTableWideDeepModel(cfg)
+        ow, od = opts()
+        state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+        # zero-init the wide (FTRL) tables: zero is FTRL's fixed point,
+        # so dense recompute-from-state and lazy no-touch agree on
+        # never-touched rows and full loss/param parity holds
+        wide = {
+            k: (jnp.zeros_like(v) if hasattr(v, "dtype") and v.ndim == 2 else v)
+            for k, v in state.params["wide"].items()
+        }
+        state = state._replace(params={**state.params, "wide": wide})
+        step = make_train_step(model, ow, od, jit=True, donate=False,
+                               use_pallas=False)
+        lw = ld = None
+        for b in batches:
+            state, (lw, ld) = step(state, b)
+        logical = {}
+        for name, (path, spec) in model.table_specs.items():
+            node = state.params
+            for p in path:
+                node = node[p]
+            logical[name] = from_storage(spec, np.asarray(node))[: spec.vocab_size]
+        results[tag] = (float(lw), float(ld), logical,
+                        {k: np.asarray(v) for k, v in _flatten(state.params)
+                         if "mlp" in k or "bias" in k or "continue" in k})
+
+    # identical semantics, different graphs: XLA reassociates f32 sums
+    # differently between the two formulations (~1e-6), and Adam's
+    # 1/(sqrt(v)+eps) rescaling amplifies that for near-zero grads —
+    # tolerances sized for that noise floor, NOT for semantic drift
+    np.testing.assert_allclose(results["sparse"][0], results["dense"][0], rtol=1e-4)
+    np.testing.assert_allclose(results["sparse"][1], results["dense"][1], rtol=1e-4)
+    for name in results["dense"][2]:
+        ids = group_ids[table_group[name]]
+        np.testing.assert_allclose(
+            results["sparse"][2][name], results["dense"][2][name],
+            rtol=1e-3, atol=1e-4, err_msg=f"table {name} diverged",
+        )
+        assert np.abs(results["dense"][2][name][ids]).sum() > 0  # really trained
+    for key in results["dense"][3]:
+        np.testing.assert_allclose(
+            results["sparse"][3][key], results["dense"][3][key],
+            rtol=1e-3, atol=1e-4, err_msg=f"dense param {key} diverged",
+        )
+
+
+def test_sparse_sharded_emb128_trains(mesh8):
+    """Hybrid: the 650k-row table row-sliced over the model axis while
+    the other 7 tables replicate — post-step parity with unsharded."""
+    import dataclasses
+
+    from mindrec_tpu.parallel.mesh import shard_batch, shard_train_state
+
+    cfg = dataclasses.replace(
+        CFG, sparse=True, emb128_slice_mode="table_row_slice"
+    )
+    opts = (
+        optim.ftrl(learning_rate=5e-2, l1=5e-4, l2=5e-4, initial_accum=0.1, loss_scale=1.0),
+        optim.adam(learning_rate=1e-3, eps=1e-6, loss_scale=1.0),
+    )
+    model = MultiTableWideDeepModel(cfg, mesh=mesh8)
+    state = init_train_state(model, jax.random.PRNGKey(0), *opts)
+    step = make_train_step(model, *opts, jit=True, donate=False,
+                           use_pallas=False)
+    b = _batch(CFG, seed=7)
+
+    ref_state, _ = step(state, b)
+
+    with mesh8:
+        state_m = shard_train_state(state, model, mesh8)
+        b_m = shard_batch(b, mesh8)
+        state2, (lw, ld) = step(state_m, b_m)
+    assert np.isfinite(float(lw)) and np.isfinite(float(ld))
+    sh = state2.params["deep"]["emb128"].sharding
+    assert "model" in str(sh.spec)
+    np.testing.assert_allclose(
+        np.asarray(state2.params["deep"]["emb128"]),
+        np.asarray(ref_state.params["deep"]["emb128"]),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -43,3 +43,33 @@ def test_segsum_heavy_duplication():
     assert float(out[0, 0]) == n - 5
     assert float(out[0, 3]) == 2.0
     assert float(out[0, 4]) == 1.0
+
+
+@pytest.mark.parametrize("seed,n,dup", [(0, 640, 3), (1, 1024, 40)])
+def test_segsum_row_major_matches_columnar(seed, n, dup):
+    rng = np.random.default_rng(seed)
+    reps = rng.integers(1, dup + 1, size=n)
+    uidx = np.repeat(np.arange(n), reps)[:n].astype(np.int32)
+    g = rng.normal(size=(8, n)).astype(np.float32)
+    col = streamed_segsum(
+        jnp.asarray(g), jnp.asarray(uidx), width=128, chunk=64,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    row = streamed_segsum(
+        jnp.asarray(g.T.copy()), jnp.asarray(uidx), width=128, chunk=64,
+        matmul_dtype=jnp.float32, row_major=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(row), np.asarray(col), rtol=1e-6)
+
+
+def test_segsum_small_n_out_bound():
+    """n_out below N (the static unique bucket) shrinks the output."""
+    n = 512
+    uidx = np.repeat(np.arange(64), 8).astype(np.int32)
+    g = np.ones((4, n), np.float32)
+    out = streamed_segsum(
+        jnp.asarray(g), jnp.asarray(uidx), width=128, chunk=64,
+        matmul_dtype=jnp.float32, n_out=128, interpret=True,
+    )
+    assert out.shape == (4, 128)
+    np.testing.assert_allclose(np.asarray(out)[:, :64], 8.0)

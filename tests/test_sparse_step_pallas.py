@@ -77,3 +77,49 @@ def test_pallas_step_matches_generic():
         np.asarray(s_gen.opt_d["deep/table"]["m"]),
         rtol=2e-2, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("row_layout,bucket", [
+    (False, None), (True, None), (True, 2048),
+])
+def test_pallas_layouts_match_generic(row_layout, bucket):
+    """Both streamed formulations (feature-major and row-major
+    512B-crossing) and the static unique bucket must match the generic
+    step exactly."""
+    import jax.numpy as jnp
+
+    model = WideDeepModel(CFG)
+    opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
+    key = jax.random.PRNGKey(1)
+    s_gen = init_train_state(model, key, opt_w, opt_d)
+    s_pal = init_train_state(model, key, opt_w, opt_d)
+    step_gen = make_train_step(model, opt_w, opt_d, jit=True, donate=False,
+                               use_pallas=False)
+    step_pal = make_train_step(
+        model, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+        matmul_dtype=jnp.float32, row_layout=row_layout,
+        unique_bucket=bucket,
+    )
+    for i in range(2):
+        b = _batch(seed=10 + i)
+        s_gen, (lw_g, ld_g) = step_gen(s_gen, b)
+        s_pal, (lw_p, ld_p) = step_pal(s_pal, b)
+        np.testing.assert_allclose(float(ld_g), float(ld_p), rtol=1e-5)
+        np.testing.assert_allclose(float(lw_g), float(lw_p), rtol=1e-5)
+    for tbl in ("deep", "wide"):
+        np.testing.assert_allclose(
+            np.asarray(s_pal.params[tbl]["table"]),
+            np.asarray(s_gen.params[tbl]["table"]),
+            rtol=2e-2, atol=1e-5, err_msg=f"{tbl} table diverged",
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_pal.opt_d["deep/table"]["m"]),
+        np.asarray(s_gen.opt_d["deep/table"]["m"]),
+        rtol=2e-2, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pal.opt_w["wide/table"]["accum"]),
+        np.asarray(s_gen.opt_w["wide/table"]["accum"]),
+        rtol=2e-2, atol=1e-5,
+    )

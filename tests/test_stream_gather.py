@@ -48,3 +48,52 @@ def test_streamed_gather_boundary_chunks():
         matmul_dtype=jnp.float32, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(table)[:, ids], rtol=1e-6)
+
+
+def test_streamed_gather_rows_multi_table_lane_offsets():
+    """Row-major variant: two tables filling one [U, 128] buffer at
+    different lane offsets; sentinel rows keep the base content."""
+    from mindrec_tpu.ops.pallas.stream_gather import streamed_gather_rows
+
+    rng = np.random.default_rng(2)
+    V = 1024
+    t_a = jnp.asarray(rng.normal(size=(16, V)).astype(np.float32))
+    t_b = jnp.asarray(rng.normal(size=(8, V)).astype(np.float32))
+    U = 256
+    n_real = 200
+    ids = np.sort(rng.integers(0, V, size=n_real)).astype(np.int32)
+    cols = np.full(U, 2**31 - 2, np.int32)
+    cols[:n_real] = ids
+    base = jnp.full((U, 128), -7.0, jnp.float32)
+    out = streamed_gather_rows(
+        t_a, jnp.asarray(cols), base, lane_offset=0, tile=256, chunk=64,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    out = streamed_gather_rows(
+        t_b, jnp.asarray(cols), out, lane_offset=16, tile=256, chunk=64,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    got = np.asarray(out)
+    np.testing.assert_allclose(got[:n_real, :16], np.asarray(t_a)[:, ids].T, rtol=1e-6)
+    np.testing.assert_allclose(got[:n_real, 16:24], np.asarray(t_b)[:, ids].T, rtol=1e-6)
+    # untouched lanes and sentinel rows keep base content
+    assert (got[:, 24:] == -7.0).all()
+    assert (got[n_real:, :] == -7.0).all()
+
+
+def test_streamed_gather_rows_sparse_across_tiles():
+    """A chunk spanning many tiles (sparse sorted columns)."""
+    from mindrec_tpu.ops.pallas.stream_gather import streamed_gather_rows
+
+    rng = np.random.default_rng(3)
+    V = 2048
+    t = jnp.asarray(rng.normal(size=(8, V)).astype(np.float32))
+    ids = np.sort(rng.choice(V, size=64, replace=False)).astype(np.int32)
+    base = jnp.zeros((64, 128), jnp.float32)
+    out = streamed_gather_rows(
+        t, jnp.asarray(ids), base, lane_offset=0, tile=128, chunk=64,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :8], np.asarray(t)[:, ids].T, rtol=1e-6
+    )
