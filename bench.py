@@ -1,11 +1,19 @@
-"""Benchmark: Wide&Deep training throughput (reference recipe parity).
+"""Benchmark: training throughput on one TPU chip (driver contract).
 
-Reproduces the reference benchmark config
+Primary metric reproduces the reference Wide&Deep benchmark recipe
 (``benchmarks/wide_deep/default_config.yaml``: bs 16000, 39 fields,
-vocab 5.86M, emb 16, 7x1024 MLP) on one TPU chip and prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+vocab 5.86M, emb 16, 7x1024 MLP; baseline 267,558 samples/s on 1x V100,
+``benchmarks/README.md:76-78``).  The ONE printed JSON line carries the
+primary metric plus an ``extra`` list:
 
-Baseline: 267,558 samples/s on 1x V100 (``benchmarks/README.md:76-78``).
+* ``deepfm_train_samples_per_sec_1chip`` — reference DeepFM recipe
+  (vocab 184,965, emb 80; baseline 21 ms/step = ~762k samples/s on
+  Ascend 910, ``models/deepfm/README.md:427-433``);
+* ``wide_deep_inline_prep_samples_per_sec_1chip`` — the same W&D step
+  with the id sort/unique prep INSIDE the jitted step (no host
+  precompute): the lower bound if the host pipeline overlapped nothing;
+* ``host_prep_ms_per_batch`` — wall time of make_batch_sort on one CPU
+  worker (production overlaps ceil(prep/step) workers with the device).
 """
 
 import argparse
@@ -27,6 +35,149 @@ if (
     os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
     os.environ["MINDREC_BENCH_REEXEC"] = "1"
     os.execv(sys.executable, [sys.executable] + sys.argv)
+
+WD_BASELINE = 267_558.0  # 1x V100 (benchmarks/README.md:76-78)
+DFM_BASELINE = 16000 / 0.021  # 21 ms/step @ bs 16000 (deepfm README:427-433)
+
+
+def _device_prep(jnp, jax):
+    @jax.jit
+    def prep(ids):
+        n = ids.size
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
+        _, inv = jax.lax.sort_key_val(perm, iota)
+        newv = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+        )
+        uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+        uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
+        return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted
+
+    return prep
+
+
+def _stage_batches(jax, data, n, with_prep):
+    batches = [
+        {k: jax.device_put(v) for k, v in data.get_batch(s).items()}
+        for s in range(n)
+    ]
+    if with_prep:
+        import jax.numpy as jnp
+
+        prep = _device_prep(jnp, jax)
+        for b in batches:
+            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"],
+             b["uidx_sorted"]) = prep(b["ids"])
+        float(batches[-1]["inv"][0])  # fence
+    return batches
+
+
+def _timed_loop(step, state, batches, warmup, steps, batch_size):
+    for i in range(warmup):
+        state, losses = step(state, batches[i % len(batches)])
+    float(losses[1])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, losses = step(state, batches[i % len(batches)])
+    float(losses[1])
+    dt = time.perf_counter() - t0
+    return steps * batch_size / dt, state
+
+
+def bench_wide_deep(args, inline_prep=False):
+    import jax
+    import jax.numpy as jnp
+
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step
+
+    cfg = WideDeepConfig(
+        batch_size=args.batch_size,
+        field_size=args.field_size,
+        vocab_size=args.vocab_size,
+        emb_dim=args.emb_dim,
+        deep_layer_dim=tuple([args.hidden] * args.layers),
+        use_mixed_precision=True,
+        sparse=not args.dense,
+        loss_scale=1024.0,
+    )
+    model = WideDeepModel(cfg)
+    opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
+    opt_d = optim.lazy_adam(
+        loss_scale=cfg.loss_scale, state_dtype=getattr(jnp, args.state_dtype)
+    )
+    data = SyntheticCriteo(
+        cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0,
+        fields=args.fields,
+    )
+    bucket = args.unique_bucket or None
+    if not args.dense and bucket is None:
+        max_u = max(
+            np.unique(np.asarray(data.get_batch(s)["ids"])).size
+            for s in range(8)
+        )
+        bucket = int(max_u * 1.2)
+    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
+    step = make_train_step(
+        model, opt_w, opt_d, jit=True, donate=True,
+        row_layout=args.row_layout, unique_bucket=bucket,
+    )
+    batches = _stage_batches(
+        jax, data, 8, with_prep=not args.dense and not inline_prep
+    )
+    sps, _ = _timed_loop(step, state, batches, args.warmup, args.steps,
+                         cfg.batch_size)
+    return sps
+
+
+def bench_deepfm(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.models.deepfm import DeepFMConfig, DeepFMModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step
+
+    cfg = DeepFMConfig(
+        batch_size=args.batch_size, field_size=39, vocab_size=184_965,
+        emb_dim=80, deep_layer_dim=(1024, 512, 256, 128),
+        use_mixed_precision=True, sparse=True, loss_scale=1024.0,
+    )
+    model = DeepFMModel(cfg)
+    opt = lambda: optim.adam(
+        learning_rate=5e-4, eps=5e-8, loss_scale=cfg.loss_scale,
+        state_dtype=jnp.bfloat16,
+    )
+    data = SyntheticCriteo(cfg.batch_size, 39, cfg.vocab_size, steps=8,
+                           seed=0, fields="criteo")
+    state = init_train_state(model, jax.random.PRNGKey(0), opt(), opt())
+    step = make_train_step(model, opt(), opt(), jit=True, donate=True,
+                           unique_bucket=131_072)
+    batches = _stage_batches(jax, data, 8, with_prep=True)
+    sps, _ = _timed_loop(step, state, batches, args.warmup,
+                         max(args.steps // 2, 20), cfg.batch_size)
+    return sps
+
+
+def bench_host_prep(args):
+    """make_batch_sort wall time per batch on one CPU worker."""
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.train.step import make_batch_sort
+
+    data = SyntheticCriteo(args.batch_size, args.field_size, args.vocab_size,
+                           steps=4, seed=0, fields=args.fields)
+    host_batches = [data.get_batch(s) for s in range(4)]
+    prep = make_batch_sort(args.field_size)
+    prep(host_batches[0])  # warm
+    t0 = time.perf_counter()
+    n = 8
+    for i in range(n):
+        prep(host_batches[i % 4])
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 def main():
@@ -62,105 +213,43 @@ def main():
         help="static distinct-ids-per-batch bound; 0 = derive from the "
         "benchmark batches (x1.2 headroom)",
     )
+    ap.add_argument("--skip-extras", action="store_true",
+                    help="primary wide_deep metric only")
     args = ap.parse_args()
-
-    import jax
-
-    from mindrec_tpu.data.criteo import SyntheticCriteo
-    from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
-    from mindrec_tpu.train import optim
-    from mindrec_tpu.train.step import init_train_state, make_train_step
-
-    cfg = WideDeepConfig(
-        batch_size=args.batch_size,
-        field_size=args.field_size,
-        vocab_size=args.vocab_size,
-        emb_dim=args.emb_dim,
-        deep_layer_dim=tuple([args.hidden] * args.layers),
-        use_mixed_precision=True,
-        sparse=not args.dense,
-        loss_scale=1024.0,
-    )
-    import jax.numpy as _jnp
-
-    model = WideDeepModel(cfg)
-    opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
-    opt_d = optim.lazy_adam(
-        loss_scale=cfg.loss_scale, state_dtype=getattr(_jnp, args.state_dtype)
-    )
-    data = SyntheticCriteo(
-        cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=8, seed=0,
-        fields=args.fields,
-    )
-    bucket = args.unique_bucket or None
-    if not args.dense and bucket is None:
-        import numpy as _np
-
-        max_u = max(
-            _np.unique(_np.asarray(data.get_batch(s)["ids"])).size
-            for s in range(8)
-        )
-        bucket = int(max_u * 1.2)
-
-    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
-    step = make_train_step(
-        model, opt_w, opt_d, jit=True, donate=True,
-        row_layout=args.row_layout, unique_bucket=bucket,
-    )
-    batches = [
-        {k: jax.device_put(v) for k, v in data.get_batch(s).items()}
-        for s in range(8)
-    ]
-
-    # The production input pipeline precomputes the id sort on the host,
-    # overlapped with the device step (train/step.py:make_batch_sort).
-    # Host->device upload through the dev tunnel is too slow to ship the
-    # arrays, so compute them on-device once per batch, outside the
-    # timed loop.
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _prep(ids):
-        n = ids.size
-        iota = jnp.arange(n, dtype=jnp.int32)
-        sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
-        _, inv = jax.lax.sort_key_val(perm, iota)
-        newv = jnp.concatenate(
-            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
-        )
-        uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
-        uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
-        return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted
-
-    if not args.dense:
-        for b in batches:
-            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"],
-             b["uidx_sorted"]) = _prep(b["ids"])
-        float(batches[-1]["inv"][0])  # fence
 
     # NB: jax.block_until_ready is a no-op through the axon tunnel
     # (async dispatch); fetching a scalar that depends on the last step
-    # is the only reliable fence.  Steps chain on `state`, so one fetch
-    # fences the whole window.
-    for i in range(args.warmup):
-        state, losses = step(state, batches[i % len(batches)])
-    float(losses[1])
-
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, losses = step(state, batches[i % len(batches)])
-    float(losses[1])
-    dt = time.perf_counter() - t0
-
-    samples_per_s = args.steps * cfg.batch_size / dt
-    baseline = 267_558.0  # reference 1xV100 (benchmarks/README.md:76-78)
+    # is the only reliable fence — _timed_loop fetches the loss.
+    wd_sps = bench_wide_deep(args)
+    extras = []
+    if not args.skip_extras and not args.dense:
+        dfm_sps = bench_deepfm(args)
+        extras.append({
+            "metric": "deepfm_train_samples_per_sec_1chip",
+            "value": round(dfm_sps, 1), "unit": "samples/s",
+            "vs_baseline": round(dfm_sps / DFM_BASELINE, 3),
+        })
+        inline_sps = bench_wide_deep(args, inline_prep=True)
+        extras.append({
+            "metric": "wide_deep_inline_prep_samples_per_sec_1chip",
+            "value": round(inline_sps, 1), "unit": "samples/s",
+            "vs_baseline": round(inline_sps / WD_BASELINE, 3),
+        })
+        prep_ms = bench_host_prep(args)
+        step_ms = args.batch_size / wd_sps * 1e3
+        extras.append({
+            "metric": "host_prep_ms_per_batch",
+            "value": round(prep_ms, 2), "unit": "ms",
+            "workers_to_overlap": int(np.ceil(prep_ms / step_ms)),
+        })
     print(
         json.dumps(
             {
                 "metric": "wide_deep_train_samples_per_sec_1chip",
-                "value": round(samples_per_s, 1),
+                "value": round(wd_sps, 1),
                 "unit": "samples/s",
-                "vs_baseline": round(samples_per_s / baseline, 3),
+                "vs_baseline": round(wd_sps / WD_BASELINE, 3),
+                "extra": extras,
             }
         )
     )

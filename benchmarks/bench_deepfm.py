@@ -57,7 +57,7 @@ def main():
     from mindrec_tpu.data.criteo import SyntheticCriteo
     from mindrec_tpu.models.deepfm import DeepFMConfig, DeepFMModel
     from mindrec_tpu.train import optim
-    from mindrec_tpu.train.step import init_train_state, make_train_step, make_batch_sort
+    from mindrec_tpu.train.step import init_train_state, make_train_step
 
     cfg = DeepFMConfig(
         batch_size=args.batch_size,

@@ -100,6 +100,90 @@ class StreamingDataset:
                 return
 
 
+class FileChannel:
+    """Cross-PROCESS sharded channel over a spool directory.
+
+    The reference's distributed online training shards the MindPandas
+    channel receiver by rank across trainer processes
+    (``examples/online_learning/dist_online_train.py:63-97``).  The
+    in-process :class:`Channel` can't cross process boundaries, so this
+    variant spools batches as atomically-renamed ``.npz`` files under
+    ``dir/shard_<k>/``: any process can send, any process can tail its
+    shard — including across hosts on a shared filesystem (the log-like
+    durability is also Kafka-parity in spirit).
+
+    Wire format: ``seq_<n>.npz`` holding the batch dict; ``_EOS`` marker
+    file ends a shard's stream.
+    """
+
+    def __init__(self, root, num_shards: int = 1, poll_s: float = 0.05):
+        from pathlib import Path
+
+        self.root = Path(root)
+        self.num_shards = num_shards
+        self.poll_s = poll_s
+        for k in range(num_shards):
+            (self.root / f"shard_{k}").mkdir(parents=True, exist_ok=True)
+
+    def sender(self) -> "FileSender":
+        return FileSender(self)
+
+    def receiver(self, shard_id: int) -> "FileReceiver":
+        return FileReceiver(self, shard_id)
+
+
+class FileSender:
+    def __init__(self, channel: FileChannel):
+        self.channel = channel
+        self._rr = 0
+        self._seq = [0] * channel.num_shards
+
+    def send(self, batch: dict, shard_id: Optional[int] = None):
+        import os
+
+        if shard_id is None:
+            shard_id = self._rr % self.channel.num_shards
+            self._rr += 1
+        d = self.channel.root / f"shard_{shard_id}"
+        n = self._seq[shard_id]
+        tmp = d / f".tmp_{n}.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, **{k: np.asarray(v) for k, v in batch.items()})
+        os.replace(tmp, d / f"seq_{n:08d}.npz")  # atomic publish
+        self._seq[shard_id] = n + 1
+
+    def close(self):
+        for k in range(self.channel.num_shards):
+            (self.channel.root / f"shard_{k}" / "_EOS").touch()
+
+
+class FileReceiver:
+    """Tails one shard directory; ``recv`` blocks until the next batch
+    (or raises StopIteration at the EOS marker)."""
+
+    def __init__(self, channel: FileChannel, shard_id: int):
+        self.channel = channel
+        self.dir = channel.root / f"shard_{shard_id}"
+        self.next_seq = 0
+
+    def recv(self, timeout: Optional[float] = None):
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        path = self.dir / f"seq_{self.next_seq:08d}.npz"
+        while True:
+            if path.exists():
+                with np.load(path) as z:
+                    batch = {k: z[k] for k in z.files}
+                self.next_seq += 1
+                return batch
+            if (self.dir / "_EOS").exists():
+                raise StopIteration
+            if deadline is not None and _time.monotonic() > deadline:
+                raise queue_mod.Empty
+            _time.sleep(self.channel.poll_s)
+
+
 class CriteoFeatureEngineer:
     """Streaming feature engineering (reference consumer ``get_weight`` /
     ``get_id``, ``examples/online_learning/consumer.py:9-31``): min-max

@@ -14,7 +14,7 @@ import re
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mindrec_tpu.ops.a2a import SENTINEL, sharded_unique_gather

@@ -3,7 +3,6 @@ loss decrease, end-to-end AUC learnability on synthetic criteo."""
 
 import jax
 import numpy as np
-import pytest
 
 from mindrec_tpu.data.criteo import SyntheticCriteo
 from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
