@@ -28,6 +28,24 @@
 //     op 4 STATS  :                      -> u64 ram_rows, u64 ssd_rows
 //     op 5 SHUT   :                      -> u8 1 (process exits)
 //
+// Hash-store connections (the DISTRIBUTED MapParameter: dynamic-vocab
+// id->slot mapping with admission/eviction, sharded across servers by
+// key hash; reference per-rank cache registration
+// mindspore_rec/ops/embedding.py:163-182) handshake with "MRHS":
+//   client "MRHS" char name[32] i64 capacity i64 slot_base i64 permit
+//          i64 evict; server "MRSV" u32 1
+//   frames: u8 op, u32 n, payload
+//     op 10 HLOOKUP: u8 force, n*i64 keys -> n*i64 slots (slot_base
+//                    offset applied; -1 = not admitted / full)
+//     op 11 HEVICT :                      -> u32 m, m*i64 freed slots
+//     op 12 HITEMS :                      -> u32 m, m*i64 keys, m*i64 slots
+//     op 13 HERASE : n*i64 keys           -> u8 1
+//     op 14 HSIZE  :                      -> u64 admitted keys
+// A named hash store is created on first handshake (capacity/permit/
+// evict fixed then); all clients share it — the single source of truth
+// every data-parallel worker consults, so replicated arenas stay
+// slot-consistent.
+//
 // Build: make -C mindrec_tpu/native mindrec_table_server
 // Run:   mindrec_table_server --port 18900 [--ram-mb 64] [--spill-dir /tmp]
 
@@ -48,6 +66,8 @@
 #include <thread>
 #include <unordered_map>
 #include <vector>
+
+#include "hashstore_impl.h"
 
 namespace {
 
@@ -188,6 +208,117 @@ class Table {
   FILE* spill_ = nullptr;
 };
 
+// One named hash store shard (slot_base offsets its local slot range
+// into the client's global arena slot space).
+struct HashShard {
+  mindrec::HashStore* store;
+  int64_t slot_base;
+  std::mutex mu;
+};
+
+std::mutex g_hash_mu;
+std::unordered_map<std::string, HashShard*> g_hash;
+
+bool ReadAll(int fd, void* buf, size_t n);
+bool WriteAll(int fd, const void* buf, size_t n);
+
+// Serves one hash-store connection (magic already consumed by Serve).
+void ServeHash(int fd) {
+  char name[32];
+  int64_t capacity, slot_base, permit, evict;
+  if (!ReadAll(fd, name, 32) || !ReadAll(fd, &capacity, 8) ||
+      !ReadAll(fd, &slot_base, 8) || !ReadAll(fd, &permit, 8) ||
+      !ReadAll(fd, &evict, 8)) {
+    ::close(fd);
+    return;
+  }
+  std::string hname(name, strnlen(name, 32));
+  HashShard* sh = nullptr;
+  {
+    std::lock_guard<std::mutex> g(g_hash_mu);
+    auto it = g_hash.find(hname);
+    if (it == g_hash.end()) {
+      sh = new HashShard{new mindrec::HashStore(capacity, permit, evict),
+                         slot_base, {}};
+      g_hash.emplace(hname, sh);
+    } else {
+      sh = it->second;
+    }
+  }
+  uint32_t ack = 1;
+  if (!WriteAll(fd, "MRSV", 4) || !WriteAll(fd, &ack, 4)) {
+    ::close(fd);
+    return;
+  }
+  std::vector<int64_t> keys, slots;
+  for (;;) {
+    uint8_t op;
+    uint32_t n;
+    if (!ReadAll(fd, &op, 1) || !ReadAll(fd, &n, 4)) break;
+    if (op == 10) {  // HLOOKUP
+      uint8_t force;
+      if (!ReadAll(fd, &force, 1)) break;
+      keys.resize(n);
+      slots.resize(n);
+      if (!ReadAll(fd, keys.data(), (size_t)n * 8)) break;
+      {
+        std::lock_guard<std::mutex> g(sh->mu);
+        sh->store->LookupOrInsert(keys.data(), n, slots.data(), force != 0);
+      }
+      for (uint32_t i = 0; i < n; ++i)
+        if (slots[i] >= 0) slots[i] += sh->slot_base;
+      if (!WriteAll(fd, slots.data(), (size_t)n * 8)) break;
+    } else if (op == 11) {  // HEVICT
+      std::vector<int64_t> freed;
+      {
+        std::lock_guard<std::mutex> g(sh->mu);
+        freed.resize((size_t)sh->store->size());
+        int64_t m = sh->store->Evict(freed.data());
+        freed.resize((size_t)m);
+      }
+      for (auto& s : freed) s += sh->slot_base;
+      uint32_t m = (uint32_t)freed.size();
+      if (!WriteAll(fd, &m, 4)) break;
+      if (m && !WriteAll(fd, freed.data(), (size_t)m * 8)) break;
+    } else if (op == 12) {  // HITEMS
+      std::vector<int64_t> ik, is;
+      {
+        std::lock_guard<std::mutex> g(sh->mu);
+        ik.resize((size_t)sh->store->size());
+        is.resize((size_t)sh->store->size());
+        int64_t m = sh->store->Items(ik.data(), is.data());
+        ik.resize((size_t)m);
+        is.resize((size_t)m);
+      }
+      for (auto& s : is) s += sh->slot_base;
+      uint32_t m = (uint32_t)ik.size();
+      if (!WriteAll(fd, &m, 4)) break;
+      if (m && (!WriteAll(fd, ik.data(), (size_t)m * 8) ||
+                !WriteAll(fd, is.data(), (size_t)m * 8)))
+        break;
+    } else if (op == 13) {  // HERASE
+      keys.resize(n);
+      if (!ReadAll(fd, keys.data(), (size_t)n * 8)) break;
+      {
+        std::lock_guard<std::mutex> g(sh->mu);
+        sh->store->Erase(keys.data(), n);
+      }
+      uint8_t ok = 1;
+      if (!WriteAll(fd, &ok, 1)) break;
+    } else if (op == 14) {  // HSIZE
+      uint64_t m;
+      {
+        std::lock_guard<std::mutex> g(sh->mu);
+        m = (uint64_t)sh->store->size();
+      }
+      if (!WriteAll(fd, &m, 8)) break;
+    } else {
+      break;
+    }
+  }
+  ::close(fd);
+}
+
 std::mutex g_tables_mu;
 std::unordered_map<std::string, Table*> g_tables;
 int64_t g_ram_bytes = -1;  // per table; -1 = unlimited
@@ -222,7 +353,15 @@ void Serve(int fd) {
   char name[32];
   float init_std, init_bias;
   uint64_t seed;
-  if (!ReadAll(fd, magic, 4) || std::memcmp(magic, "MREC", 4) != 0 ||
+  if (!ReadAll(fd, magic, 4)) {
+    ::close(fd);
+    return;
+  }
+  if (std::memcmp(magic, "MRHS", 4) == 0) {
+    ServeHash(fd);
+    return;
+  }
+  if (std::memcmp(magic, "MREC", 4) != 0 ||
       !ReadAll(fd, &dim, 4) || !ReadAll(fd, name, 32) ||
       !ReadAll(fd, &init_std, 4) || !ReadAll(fd, &init_bias, 4) ||
       !ReadAll(fd, &seed, 8)) {

@@ -164,6 +164,132 @@ class RemoteTier:
             c.close()
 
 
+class _HashConn:
+    """One hash-store shard on one server (wire: table_server.cc MRHS)."""
+
+    def __init__(self, addr: str, name: str, capacity: int, slot_base: int,
+                 permit: int, evict: int, timeout_s: float = 30.0):
+        host, port = addr.rsplit(":", 1)
+        self.sock = socket.create_connection((host, int(port)), timeout=timeout_s)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        nm = name.encode()[:32].ljust(32, b"\0")
+        self.sock.sendall(
+            b"MRHS" + nm + struct.pack("<qqqq", capacity, slot_base, permit, evict)
+        )
+        magic = _Conn._recv(self, 8)
+        if magic[:4] != b"MRSV":
+            raise ConnectionError(f"hash-store handshake failed for {name}@{addr}")
+
+    _recv = _Conn._recv
+    close = _Conn.close
+
+    def lookup(self, keys: np.ndarray, force: bool) -> np.ndarray:
+        n = keys.shape[0]
+        self.sock.sendall(
+            struct.pack("<BIB", 10, n, 1 if force else 0)
+            + keys.astype("<i8").tobytes()
+        )
+        return np.frombuffer(self._recv(n * 8), "<i8").copy()
+
+    def evict(self) -> np.ndarray:
+        self.sock.sendall(struct.pack("<BI", 11, 0))
+        (m,) = struct.unpack("<I", self._recv(4))
+        return np.frombuffer(self._recv(m * 8), "<i8").copy() if m else np.empty(0, np.int64)
+
+    def items(self):
+        self.sock.sendall(struct.pack("<BI", 12, 0))
+        (m,) = struct.unpack("<I", self._recv(4))
+        if not m:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys = np.frombuffer(self._recv(m * 8), "<i8").copy()
+        slots = np.frombuffer(self._recv(m * 8), "<i8").copy()
+        return keys, slots
+
+    def erase(self, keys: np.ndarray):
+        n = keys.shape[0]
+        self.sock.sendall(struct.pack("<BI", 13, n) + keys.astype("<i8").tobytes())
+        self._recv(1)
+
+    def size(self) -> int:
+        self.sock.sendall(struct.pack("<BI", 14, 0))
+        return struct.unpack("<Q", self._recv(8))[0]
+
+
+class RemoteHashStore:
+    """Distributed MapParameter: the dynamic-vocab id->slot map sharded
+    across table servers by key hash (reference: the hash table lives in
+    the PS and registers per-rank cache state,
+    ``mindspore_rec/ops/embedding.py:163-182``).
+
+    Drop-in for :class:`mindrec_tpu.native.hashstore.HashStore`
+    (lookup_or_insert / evict / items / erase / __len__), so
+    :class:`HashEmbeddingLookup` and ``DynamicEmbeddingAdapter`` take it
+    via their ``store`` parameter.  Server shard ``s`` owns keys with
+    ``splitmix64(key) % S == s`` and allocates GLOBAL arena slots in
+    ``[s*capacity/S, (s+1)*capacity/S)``, so every data-parallel worker
+    sees one consistent id->slot mapping and replicated arenas stay
+    aligned.
+
+    Note: each connected worker's lookup advances the shared step clock,
+    so admission/eviction thresholds count CLUSTER steps — the same
+    server-side-clock semantics the reference's PS hash table has.
+    """
+
+    def __init__(self, addrs, name: str, capacity: int,
+                 permit_threshold: int = 1, evict_threshold: int = 0x7FFFFFFF):
+        if isinstance(addrs, str):
+            addrs = [addrs]
+        n_srv = len(addrs)
+        self.capacity = capacity
+        cap_per = capacity // n_srv
+        self.conns = [
+            _HashConn(a, name, cap_per, s * cap_per, permit_threshold,
+                      evict_threshold)
+            for s, a in enumerate(addrs)
+        ]
+
+    def __len__(self):
+        return sum(c.size() for c in self.conns)
+
+    def _shard(self, keys: np.ndarray) -> np.ndarray:
+        if len(self.conns) == 1:
+            return np.zeros(keys.shape[0], np.int64)
+        return (
+            _splitmix64(keys.view(np.uint64) if keys.dtype == np.int64
+                        else keys.astype(np.uint64))
+            % np.uint64(len(self.conns))
+        ).astype(np.int64)
+
+    def lookup_or_insert(self, keys: np.ndarray, force: bool = False) -> np.ndarray:
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        out = np.empty(keys.shape[0], np.int64)
+        shard = self._shard(keys)
+        for s, conn in enumerate(self.conns):
+            m = shard == s
+            if m.any():
+                out[m] = conn.lookup(keys[m], force)
+        return out
+
+    def evict(self) -> np.ndarray:
+        return np.concatenate([c.evict() for c in self.conns])
+
+    def items(self):
+        ks, ss = zip(*[c.items() for c in self.conns])
+        return np.concatenate(ks), np.concatenate(ss)
+
+    def erase(self, keys: np.ndarray):
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        shard = self._shard(keys)
+        for s, conn in enumerate(self.conns):
+            m = shard == s
+            if m.any():
+                conn.erase(keys[m])
+
+    def close(self):
+        for c in self.conns:
+            c.close()
+
+
 def server_binary_path() -> Path:
     return Path(__file__).resolve().parent.parent / "native" / "mindrec_table_server"
 

@@ -37,15 +37,35 @@ class DynamicEmbeddingAdapter:
         permit_filter_value: int = 1,
         evict_filter_value: int = 0x7FFFFFFF,
         seed: int = 0,
+        store=None,
+        remote_addrs=None,
+        table_name: str = "dyn",
     ):
+        """``remote_addrs`` (list of "host:port" table servers) switches
+        the id->slot map to the DISTRIBUTED hash store sharded across the
+        servers (reference: MapParameter lives in the PS,
+        ``mindspore_rec/ops/embedding.py:163-182``) — every data-parallel
+        worker then sees one consistent mapping.  ``store`` injects any
+        HashStore-compatible object directly."""
         if permit_filter_value < 1 or evict_filter_value < 1:
             raise ValueError("filter thresholds must be >= 1")
         self.capacity = capacity
-        self.store = HashStore(
-            capacity=capacity,
-            permit_threshold=permit_filter_value,
-            evict_threshold=evict_filter_value,
-        )
+        if store is not None:
+            self.store = store
+        elif remote_addrs:
+            from mindrec_tpu.ops.remote import RemoteHashStore
+
+            self.store = RemoteHashStore(
+                remote_addrs, table_name, capacity,
+                permit_threshold=permit_filter_value,
+                evict_threshold=evict_filter_value,
+            )
+        else:
+            self.store = HashStore(
+                capacity=capacity,
+                permit_threshold=permit_filter_value,
+                evict_threshold=evict_filter_value,
+            )
         self.dummy_slot = capacity  # model built with vocab_size=capacity
         self._rng = np.random.default_rng(seed)
 
