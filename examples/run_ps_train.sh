@@ -25,9 +25,19 @@ for ((i = 0; i < MR_SERVER_NUM; i++)); do
   echo "server $i pid $! port $((MR_SERVER_PORT_BASE + i))"
 done
 
+# workers reach the servers through MR_SERVER_HOSTS; pick the regime via
+# train_criteo flags: --vocab_cache_size N (HBM cache + remote tiers) or
+# --parameter_server 1 (host-target, optimizer server-side) or
+# --dynamic_embedding 1 (server-sharded hash vocab)
+hosts=""
+for ((i = 0; i < MR_SERVER_NUM; i++)); do
+  hosts+="${hosts:+,}${MR_SCHED_HOST}:$((MR_SERVER_PORT_BASE + i))"
+done
+export MR_SERVER_HOSTS=$hosts
+
 for ((i = 0; i < MR_WORKER_NUM; i++)); do
   MR_ROLE=MR_WORKER MR_WORKER_ID=$i \
-    python examples/train_criteo.py --cache_remote auto "$@" \
+    python examples/train_criteo.py "$@" \
     >ps_logs/worker_$i.log 2>&1 &
   echo "worker $i pid $!"
 done

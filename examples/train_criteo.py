@@ -34,7 +34,14 @@ def main():
     ap.add_argument("--graphs_path", default="./graphs")
     args, rest = ap.parse_known_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("MINDREC_PLATFORM"):
+        # the TPU-plugin sitecustomize pre-imports jax, so JAX_PLATFORMS
+        # alone is too late; this env knob works like eval_criteo.py's
+        jax.config.update("jax_platforms", os.environ["MINDREC_PLATFORM"])
 
     from mindrec_tpu import RecModel
     from mindrec_tpu.config import get_config
@@ -105,6 +112,96 @@ def main():
     rm = RecModel(model, opt_w, opt_d)
     if mesh is not None:
         rm.state = shard_train_state(rm.state, model, mesh)
+
+    # --- embedding placement regimes (reference matrix,
+    #     wide_and_deep.py:215-291) ------------------------------------
+    server_hosts = [
+        h.strip() for h in
+        (__import__("os").environ.get("MR_SERVER_HOSTS", "")).split(",")
+        if h.strip()
+    ]
+    if args.model == "wide_deep" and getattr(cfg, "vocab_cache_size", 0) > 0:
+        # HBM-cache regime: model was built with vocab_size rows but only
+        # vocab_cache_size live in HBM; misses swap through host/remote
+        # tiers (reference vocab_cache_size, embedding.py:163-182)
+        import functools
+
+        from mindrec_tpu.train.cached import (
+            CachedTrainingAdapter,
+            cached_train_step,
+        )
+
+        mcfg_cache = type(mcfg)(**{
+            **{f.name: getattr(mcfg, f.name) for f in
+               __import__("dataclasses").fields(mcfg)},
+            "vocab_size": cfg.vocab_cache_size,
+        })
+        model = WideDeepModel(mcfg_cache)
+        rm = RecModel(model, opt_w, opt_d, donate=False)
+        adapter = CachedTrainingAdapter(
+            model, virtual_vocab=cfg.vocab_size,
+            cache_rows=cfg.vocab_cache_size,
+            max_swap=cfg.batch_size * cfg.field_size + 8,
+            ram_bytes=getattr(cfg, "host_ram_bytes", None) or None,
+            spill_dir="./emb_spill",
+            remote_addrs=server_hosts or None,
+        )
+        rm.train_step = functools.partial(
+            cached_train_step, adapter, rm.train_step
+        )
+        _orig_eval = rm.eval_step
+
+        def _cached_eval(params, batch, _rm=rm, _ad=adapter):
+            prep = _ad.prepare(batch)
+            _rm.state = _ad.apply_swap(_rm.state, prep)
+            _ad.writeback(prep)
+            return _orig_eval(_rm.state.params, _ad.transform(batch, prep))
+
+        rm.eval_step = _cached_eval
+        print(f"cache regime: {cfg.vocab_cache_size:,} HBM rows of "
+              f"{cfg.vocab_size:,} (remote={bool(server_hosts)})", flush=True)
+    elif args.model == "wide_deep" and getattr(cfg, "parameter_server", False):
+        # host/CPU-target regime: tables never enter HBM
+        # (reference wide_and_deep.py:217 + optimizer target CPU :431-433)
+        from mindrec_tpu.train.host_target import (
+            HostTargetAdapter,
+            init_dense_state,
+        )
+
+        adapter = HostTargetAdapter(
+            model, vocab_size=cfg.vocab_size,
+            unique_bucket=cfg.batch_size * cfg.field_size,
+            opt_w=opt_w, opt_d=opt_d,
+            remote_addrs=server_hosts or None,
+            spill_dir=None if server_hosts else "./emb_spill",
+        )
+        rm.state = init_dense_state(model, 0, opt_w, opt_d)
+        rm.train_step = adapter.train_step
+        rm.eval_step = adapter.eval_step
+        print(f"host-target regime: tables host-resident "
+              f"(remote={bool(server_hosts)})", flush=True)
+    elif getattr(cfg, "dynamic_embedding", False):
+        # hash dynamic-vocab regime: arbitrary int64 ids -> dense arena
+        # slots via the (optionally server-sharded) hash store
+        # (reference HashEmbeddingLookup, embedding.py:47-206)
+        from mindrec_tpu.train.dynamic import DynamicEmbeddingAdapter
+
+        dyn = DynamicEmbeddingAdapter(
+            capacity=cfg.vocab_size,
+            permit_filter_value=getattr(cfg, "permit_filter_value", 1) or 1,
+            evict_filter_value=getattr(cfg, "evict_filter_value", 0) or 0x7FFFFFFF,
+            remote_addrs=server_hosts or None,
+        )
+        _train0 = rm.train_step
+        _eval0 = rm.eval_step
+        rm.train_step = lambda state, batch: _train0(
+            state, dyn.transform_batch(batch)
+        )
+        rm.eval_step = lambda params, batch: _eval0(
+            params, dyn.transform_batch(batch)
+        )
+        print(f"dynamic-embedding regime: arena {cfg.vocab_size:,} slots "
+              f"(remote={bool(server_hosts)})", flush=True)
 
     def make_data(train: bool):
         if cfg.dataset_type == "packed":

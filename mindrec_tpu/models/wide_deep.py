@@ -84,11 +84,19 @@ class WideDeepModel:
     def __init__(self, config: WideDeepConfig, mesh=None):
         self.config = config
         c = config
+        # reference regime rule (wide_and_deep.py:217): PS without the
+        # device cache -> CPU/host-target lookup (tables live host-side,
+        # trained by HostTargetAdapter; see train/host_target.py)
+        target = (
+            "host" if c.parameter_server and c.vocab_cache_size == 0
+            else "device"
+        )
         self.wide_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size,
             emb_dim=1,
             name="wide_embedding",
             sparse=c.sparse,
+            target=target,
             init_args=c.init_args,
         )
         self.deep_spec = EmbeddingTableSpec(
@@ -96,8 +104,8 @@ class WideDeepModel:
             emb_dim=c.emb_dim,
             name="deep_embedding",
             slice_mode=c.deep_table_slice_mode,
-            vocab_cache_size=c.vocab_cache_size,
             sparse=c.sparse,
+            target=target,
             init_args=c.init_args,
         )
         self.wide_lookup = EmbeddingLookup(self.wide_spec, mesh)

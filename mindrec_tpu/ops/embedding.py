@@ -72,8 +72,12 @@ class EmbeddingTableSpec:
     emb_dim: int
     name: str = "embedding"
     slice_mode: str = "none"  # none | table_row_slice | table_column_slice
+    # "host": the table never lives in HBM — rows travel per step and the
+    # optimizer applies host-side (train/host_target.py; reference
+    # CPU-target EmbeddingLookup + optimizer.target="CPU",
+    # wide_and_deep.py:217,431-433).  The HBM-cache regime is configured
+    # on the ADAPTER (CachedTrainingAdapter cache_rows), not the spec.
     target: str = "device"  # device | host
-    vocab_cache_size: int = 0  # >0: only a cache of this many rows is in HBM
     sparse: bool = False  # row-sparse grad/optimizer path
     init: str = "normal"
     init_args: tuple = (-0.01, 0.01)
