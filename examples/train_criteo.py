@@ -32,6 +32,15 @@ def main():
                     help="dump StableHLO/optimized HLO of the train step "
                          "(reference save_graphs=True)")
     ap.add_argument("--graphs_path", default="./graphs")
+    ap.add_argument("--ckpt_dir", default="./ckpt")
+    ap.add_argument("--ckpt_interval", type=int, default=0,
+                    help="save every N steps (0 = off); keep --ckpt_keep")
+    ap.add_argument("--ckpt_keep", type=int, default=5)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint in --ckpt_dir and "
+                    "continue (the recovery half of the elastic story: "
+                    "run under examples/run_elastic_train.sh and a crashed "
+                    "trainer restarts from its last save)")
     args, rest = ap.parse_known_args()
 
     import os
@@ -220,6 +229,30 @@ def main():
         TimeMonitor(),
         EvalCallback(rm, make_data(train=False), cfg.eval_file_name),
     ]
+    if args.ckpt_interval > 0:
+        from mindrec_tpu.train.callbacks import CheckpointCallback
+
+        callbacks.append(CheckpointCallback(
+            args.ckpt_dir, save_steps=args.ckpt_interval,
+            keep_max=args.ckpt_keep,
+        ))
+    if args.resume:
+        from mindrec_tpu.io.checkpoint import latest_checkpoint, restore_checkpoint
+
+        path, ck_step = latest_checkpoint(args.ckpt_dir, rank=jax.process_index())
+        if path:
+            rm.state = restore_checkpoint(path, rm.state)
+            print(f"resumed from {path} (step {int(rm.state.step)})", flush=True)
+        else:
+            print("resume requested but no checkpoint found; starting fresh",
+                  flush=True)
+    if os.environ.get("MINDREC_CRASH_AT_STEP"):
+        from mindrec_tpu.train.callbacks import FaultInjector
+
+        callbacks.append(FaultInjector(
+            int(os.environ["MINDREC_CRASH_AT_STEP"]),
+            once_marker=os.environ.get("MINDREC_CRASH_MARKER"),
+        ))
 
     if args.save_graphs:
         from mindrec_tpu.utils.profiling import dump_ir

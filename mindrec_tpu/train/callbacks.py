@@ -182,11 +182,44 @@ class CheckpointCallback(Callback):
             return
         from mindrec_tpu.io.checkpoint import save_checkpoint
 
+        # file numbering uses the GLOBAL optimizer step (survives
+        # restarts), not the run-local counter — so a resumed run's
+        # saves sort after the pre-crash ones and retention stays correct
+        try:
+            gstep = int(ctx.train_state.step)
+        except (AttributeError, TypeError):
+            gstep = ctx.cur_step_num
         path = save_checkpoint(
             self.directory,
             ctx.train_state,
-            step=ctx.cur_step_num,
+            step=gstep,
             prefix=self.prefix,
             keep_max=self.keep_max,
         )
         self.saved.append(path)
+
+
+class FaultInjector(Callback):
+    """Crash the trainer at a given step — the fault-injection half of
+    the elastic-recovery story (SURVEY §5: the reference has no story;
+    here a crashed trainer restarted under examples/run_elastic_train.sh
+    with --resume continues from its last checkpoint, and
+    tests/test_elastic.py proves the round trip)."""
+
+    def __init__(self, crash_at_step: int, once_marker: str | None = None):
+        self.crash_at_step = crash_at_step
+        self.once_marker = once_marker  # crash only on the first run
+
+    def on_train_step_end(self, ctx: RunContext):
+        if ctx.cur_step_num != self.crash_at_step:
+            return
+        if self.once_marker:
+            from pathlib import Path as _P
+
+            marker = _P(self.once_marker)
+            if marker.exists():
+                return  # already crashed once; let the restart finish
+            marker.touch()
+        raise RuntimeError(
+            f"FaultInjector: simulated crash at step {ctx.cur_step_num}"
+        )
