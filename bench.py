@@ -103,6 +103,7 @@ def bench_wide_deep(args, inline_prep=False):
         use_mixed_precision=True,
         sparse=not args.dense,
         loss_scale=1024.0,
+        table_dtype=getattr(args, "wd_table_dtype", args.table_dtype),
     )
     model = WideDeepModel(cfg)
     opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
@@ -213,6 +214,11 @@ def main():
         help="static distinct-ids-per-batch bound; 0 = derive from the "
         "benchmark batches (x1.2 headroom)",
     )
+    ap.add_argument(
+        "--table-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="embedding-table storage: bf16 halves the table HBM streams "
+        "(AUC-parity gate: tests/test_accuracy.py)",
+    )
     ap.add_argument("--skip-extras", action="store_true",
                     help="primary wide_deep metric only")
     args = ap.parse_args()
@@ -222,6 +228,16 @@ def main():
     # is the only reliable fence — _timed_loop fetches the loss.
     wd_sps = bench_wide_deep(args)
     extras = []
+    if not args.skip_extras and not args.dense and args.table_dtype == "float32":
+        # the bf16-table production recipe (quality-gated) as an extra
+        args.wd_table_dtype = "bfloat16"
+        bf16_sps = bench_wide_deep(args)
+        del args.wd_table_dtype
+        extras.append({
+            "metric": "wide_deep_bf16_table_train_samples_per_sec_1chip",
+            "value": round(bf16_sps, 1), "unit": "samples/s",
+            "vs_baseline": round(bf16_sps / WD_BASELINE, 3),
+        })
     if not args.skip_extras and not args.dense:
         dfm_sps = bench_deepfm(args)
         extras.append({

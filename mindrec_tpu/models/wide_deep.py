@@ -55,6 +55,7 @@ class WideDeepConfig:
     l2_coef: float = 8e-5
     loss_scale: float = 1024.0
     init_args: tuple = (-0.01, 0.01)
+    table_dtype: str = "float32"  # bfloat16 halves table HBM streams
 
     @property
     def no_l2loss(self) -> bool:
@@ -98,6 +99,7 @@ class WideDeepModel:
             sparse=c.sparse,
             target=target,
             init_args=c.init_args,
+            dtype=c.table_dtype,
         )
         self.deep_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size,
@@ -107,6 +109,7 @@ class WideDeepModel:
             sparse=c.sparse,
             target=target,
             init_args=c.init_args,
+            dtype=c.table_dtype,
         )
         self.wide_lookup = EmbeddingLookup(self.wide_spec, mesh)
         self.deep_lookup = EmbeddingLookup(self.deep_spec, mesh)
@@ -193,7 +196,7 @@ class WideDeepModel:
         ce = jnp.mean(sigmoid_cross_entropy(logits, label))
         if self.config.no_l2loss:
             return ce, ce
-        l2 = 0.5 * jnp.sum(jnp.square(params["deep"]["table"]))
+        l2 = 0.5 * jnp.sum(jnp.square(params["deep"]["table"].astype(jnp.float32)))
         return ce, ce + self.config.l2_coef * l2
 
     def predict(self, params, ids, wts):

@@ -82,6 +82,13 @@ class EmbeddingTableSpec:
     init: str = "normal"
     init_args: tuple = (-0.01, 0.01)
     max_norm: Optional[float] = None
+    # table storage precision.  "bfloat16" halves the dominant HBM
+    # streams of sparse training (the gather and optimizer kernels pump
+    # the whole table through VMEM); update arithmetic stays f32 — only
+    # the stored parameter rounds (the optimizer moments' precision is
+    # the optimizer's state_dtype knob).  Quality gate:
+    # tests/test_accuracy.py::test_bf16_table_matches_f32_auc
+    dtype: str = "float32"  # float32 | bfloat16
 
     # 8192 keeps tables divisible by any mesh axis and by the streamed
     # Pallas kernels' tile sizes even after the fold divides the vocab
@@ -168,7 +175,7 @@ class EmbeddingLookup:
         # dummy + alignment-padding rows are zeros so accidental reads
         # contribute nothing
         logical = logical.at[spec.dummy_id :].set(0.0)
-        table = to_storage(spec, logical)
+        table = to_storage(spec, logical).astype(getattr(jnp, spec.dtype))
         if self.mesh is not None and spec.slice_mode != "none":
             table = jax.device_put(table, spec.sharding(self.mesh))
         return table

@@ -269,7 +269,10 @@ def _adam_kernel(tile_of, chunkblk, flags, cols_ref, grads_ref, table_ref,
         upd = lr_t * m_new / (jnp.sqrt(v_new) + eps)
         m_out[:, :] = jnp.where(mask, m_new, m_old).astype(m_out.dtype)
         v_out[:, :] = jnp.where(mask, v_new, v_old).astype(v_out.dtype)
-        table_out[:, :] = jnp.where(mask, table_ref[:, :] - upd, table_ref[:, :])
+        w_old = table_ref[:, :].astype(jnp.float32)
+        table_out[:, :] = jnp.where(mask, w_old - upd, w_old).astype(
+            table_out.dtype
+        )
 
 
 def _update_grid_spec(dp, tile, chunk, S, n_state: int, with_scalar: bool):
@@ -373,9 +376,9 @@ def _ftrl_kernel(tile_of, chunkblk, flags, cols_ref, grads_ref, table_ref,
         ga = acc_ref[:, :]
         G = ga[:dp, :] * inv_scale
         mask = _expand_touch(ga[dp:, :], dim, fold)
-        w = table_ref[:, :]
-        acc = acc_st_ref[:, :]
-        lin = lin_ref[:, :]
+        w = table_ref[:, :].astype(jnp.float32)
+        acc = acc_st_ref[:, :].astype(jnp.float32)
+        lin = lin_ref[:, :].astype(jnp.float32)
         acc_new = acc + G * G
         sigma = (jnp.sqrt(acc_new) - jnp.sqrt(acc)) / lr
         lin_new = lin + G - sigma * w
@@ -383,9 +386,9 @@ def _ftrl_kernel(tile_of, chunkblk, flags, cols_ref, grads_ref, table_ref,
         w_new = jnp.where(
             jnp.abs(lin_new) > l1, (jnp.sign(lin_new) * l1 - lin_new) / quad, 0.0
         )
-        table_out[:, :] = jnp.where(mask, w_new, w)
-        acc_out[:, :] = jnp.where(mask, acc_new, acc)
-        lin_out[:, :] = jnp.where(mask, lin_new, lin)
+        table_out[:, :] = jnp.where(mask, w_new, w).astype(table_out.dtype)
+        acc_out[:, :] = jnp.where(mask, acc_new, acc).astype(acc_out.dtype)
+        lin_out[:, :] = jnp.where(mask, lin_new, lin).astype(lin_out.dtype)
 
 
 def streamed_ftrl_cols(

@@ -126,3 +126,42 @@ def test_accuracy_pipeline_entrypoint(tmp_path):
              if ln.startswith("{")][-1]
     assert final["event"] == "final"
     assert final["auc"] > 0.66, final
+
+
+@pytest.mark.slow
+def test_bf16_table_matches_f32_auc():
+    """bfloat16 table storage (halves the table HBM streams) must be
+    quality-neutral: trained AUC within 0.01 of the f32-table run."""
+    import jax
+
+    from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.metrics import AUCMetric
+    from mindrec_tpu.train.step import (
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    gen = RealisticCriteo(vocab_scale=0.001)
+    aucs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = WideDeepConfig(
+            batch_size=2000, field_size=39, vocab_size=gen.vocab_size,
+            emb_dim=16, deep_layer_dim=(256, 128, 64), sparse=True,
+            loss_scale=1024.0, table_dtype=dt,
+        )
+        model = WideDeepModel(cfg)
+        ow, od = optim.ftrl(loss_scale=1024.0), optim.lazy_adam(loss_scale=1024.0)
+        state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+        step = make_train_step(model, ow, od, jit=True, donate=False)
+        ev = make_eval_step(model)
+        for i in range(1, 401):
+            state, _ = step(state, gen.batch(cfg.batch_size, step=i))
+        m = AUCMetric()
+        for i in range(5):
+            b = gen.batch(2000, step=900_000 + i)
+            p, l = ev(state.params, b)
+            m.update(np.asarray(p), np.asarray(l))
+        aucs[dt] = m.eval()
+    assert abs(aucs["bfloat16"] - aucs["float32"]) < 0.01, aucs
