@@ -33,7 +33,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="wide_deep", choices=["wide_deep", "deepfm"])
+    ap.add_argument("--model", default="wide_deep",
+                    choices=["wide_deep", "deepfm", "dcn"])
     ap.add_argument("--vocab-scale", type=float, default=0.01,
                     help="fraction of the real criteo-kaggle cardinalities")
     ap.add_argument("--batch-size", type=int, default=16000)
@@ -101,7 +102,7 @@ def main():
         model = WideDeepModel(cfg)
         opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
         opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
-    else:
+    elif args.model == "deepfm":
         from mindrec_tpu.models.deepfm import DeepFMConfig, DeepFMModel
 
         cfg = DeepFMConfig(
@@ -114,6 +115,17 @@ def main():
                            loss_scale=cfg.loss_scale)
         opt_d = optim.adam(learning_rate=cfg.learning_rate, eps=cfg.epsilon,
                            loss_scale=cfg.loss_scale)
+    else:
+        from mindrec_tpu.models.dcn import DCNConfig, DCNModel
+
+        cfg = DCNConfig(
+            batch_size=args.batch_size, field_size=39, vocab_size=vocab,
+            emb_dim=min(args.emb_dim, 27), sparse=True, loss_scale=1.0,
+            learning_rate=3e-4,
+        )
+        model = DCNModel(cfg)
+        opt_w = optim.adam(learning_rate=cfg.learning_rate, loss_scale=cfg.loss_scale)
+        opt_d = optim.adam(learning_rate=cfg.learning_rate, loss_scale=cfg.loss_scale)
 
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
     step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)

@@ -154,3 +154,58 @@ def test_hlo_never_moves_the_table(mesh8):
             f"{kind} moves {b} bytes (~table scale {table_bytes}); "
             "the exchange must move rows, not the table"
         )
+
+
+def test_sharded_train_step_hlo_never_moves_the_table(mesh8):
+    """The FULL row-sliced sparse train step (forward + backward +
+    lazy-optimizer update) must compile to batch-scale collectives only:
+    no all-gather / all-reduce / all-to-all within 4x of the table bytes
+    (the GSPMD-efficiency claim of SURVEY §7.3 hard-part #3, measured on
+    the whole step, not just the lookup)."""
+    from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+    from mindrec_tpu.parallel.mesh import shard_batch, shard_train_state
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step
+
+    cfg = WideDeepConfig(
+        batch_size=1024, field_size=39, vocab_size=1_000_000, emb_dim=16,
+        deep_layer_dim=(256, 128), sparse=True,
+        deep_table_slice_mode="table_row_slice", loss_scale=1024.0,
+    )
+    model = WideDeepModel(cfg, mesh=mesh8)
+    ow, od = optim.ftrl(loss_scale=1024.0), optim.lazy_adam(loss_scale=1024.0)
+    state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+    rng = np.random.default_rng(0)
+    with mesh8:
+        state = shard_train_state(state, model, mesh8)
+        step = make_train_step(model, ow, od, jit=False, donate=False)
+        batch = shard_batch({
+            "ids": rng.integers(0, cfg.vocab_size, (1024, 39)).astype(np.int32),
+            "wts": np.ones((1024, 39), np.float32),
+            "label": np.ones((1024, 1), np.float32),
+        }, mesh8)
+        hlo = jax.jit(step).lower(state, batch).compile().as_text()
+
+    table_bytes = np.prod(model.deep_spec.storage_shape) * 4
+    ops = re.compile(
+        r"=\s*\(?\s*.*?(all[-_]to[-_]all|all[-_]gather|all[-_]reduce|"
+        r"reduce[-_]scatter|collective[-_]permute)\("
+    )
+    shape = re.compile(r"(f32|bf16|s32|u32|pred)\[([\d,]*)\]")
+    seen = 0
+    for line in hlo.splitlines():
+        m = ops.search(line)
+        if not m:
+            continue
+        b = 0
+        for sm in shape.finditer(line[: m.start(1)]):
+            dims = [int(d) for d in sm.group(2).split(",") if d]
+            b += int(np.prod(dims) if dims else 1) * (
+                2 if sm.group(1) == "bf16" else 4
+            )
+        seen += 1
+        assert b < table_bytes / 4, (
+            f"{m.group(1)} moves {b} bytes (table {table_bytes}) in the "
+            "sharded train step"
+        )
+    assert seen > 0, "expected collectives in the sharded step HLO"
