@@ -22,7 +22,6 @@ if (
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mindrec_tpu.data.criteo import SyntheticCriteo
 from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
