@@ -114,6 +114,11 @@ class FileChannel:
 
     Wire format: ``seq_<n>.npz`` holding the batch dict; ``_EOS`` marker
     file ends a shard's stream.
+
+    Contract: ONE sender per shard (sequence numbers are sender-local,
+    like one Kafka producer per partition — the reference's producer
+    maps processes to partitions the same way, ``producer.py:35-78``);
+    any number of senders may cover disjoint shards.
     """
 
     def __init__(self, root, num_shards: int = 1, poll_s: float = 0.05):

@@ -50,6 +50,7 @@ class DCNConfig:
     loss_scale: float = 1.0
     learning_rate: float = 1e-4
     init_args: tuple = (-0.01, 0.01)
+    table_slice_mode: str = "none"  # shard the table over the "model" axis
 
 
 class DCNModel:
@@ -64,6 +65,7 @@ class DCNModel:
             name="dcn_embedding",
             sparse=c.sparse,
             init_args=c.init_args,
+            slice_mode=c.table_slice_mode,
         )
         self.lookup = EmbeddingLookup(self.emb_spec, mesh)
         self.input_size = c.field_size * c.emb_dim

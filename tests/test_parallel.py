@@ -203,3 +203,45 @@ def test_column_slice_matches_unsharded(mesh8):
     assert lw == pytest.approx(lw_ref, rel=1e-4)
     assert ld == pytest.approx(ld_ref, rel=1e-4)
     _assert_params_equal(state2, ref_state)
+
+
+@pytest.mark.parametrize("which", ["deepfm", "dcn"])
+def test_other_models_row_slice_matches_unsharded(mesh8, which):
+    """DeepFM and DCN sharded sparse training == the unsharded step
+    (the W&D parity standard applied to the rest of the zoo)."""
+    if which == "deepfm":
+        from mindrec_tpu.models.deepfm import DeepFMConfig, DeepFMModel
+
+        cfg = DeepFMConfig(batch_size=32, field_size=8, vocab_size=512,
+                           emb_dim=8, deep_layer_dim=(32, 16),
+                           use_mixed_precision=False, sparse=True,
+                           loss_scale=1.0,
+                           table_slice_mode="table_row_slice")
+        model = DeepFMModel(cfg, mesh=mesh8)
+        opts = (optim.adam(loss_scale=1.0), optim.adam(loss_scale=1.0))
+        table_path = ("fm", "table")
+    else:
+        from mindrec_tpu.models.dcn import DCNConfig, DCNModel
+
+        cfg = DCNConfig(batch_size=32, field_size=8, vocab_size=512,
+                        emb_dim=8, deep_layer_dim=(32, 16),
+                        cross_layer_num=2, sparse=True, loss_scale=1.0,
+                        table_slice_mode="table_row_slice")
+        model = DCNModel(cfg, mesh=mesh8)
+        opts = (optim.adam(loss_scale=1.0), optim.adam(loss_scale=1.0))
+        table_path = ("emb", "table")
+
+    state = init_train_state(model, jax.random.PRNGKey(0), *opts)
+    batches = [_batch(cfg, seed=s) for s in (0, 1)]
+    ref_state, lw_ref, ld_ref = _run_steps(model, opts, state, batches)
+
+    with mesh8:
+        state_m = shard_train_state(state, model, mesh8)
+        batches_m = [shard_batch(b, mesh8) for b in batches]
+        state2, lw, ld = _run_steps(model, opts, state_m, batches_m)
+    assert ld == pytest.approx(ld_ref, rel=1e-4)
+    _assert_params_equal(state2, ref_state)
+    node = state2.params
+    for pth in table_path:
+        node = node[pth]
+    assert "model" in str(node.sharding.spec)
