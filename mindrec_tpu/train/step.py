@@ -769,10 +769,16 @@ def make_train_step(
     return step
 
 
-def make_batch_sort(field_size: int):
+def make_batch_sort(field_size: int, unique_bucket: int | None = None):
     """Host-side batch prep: attach ``sorted_ids``/``perm``/``inv`` so
     the jitted sparse step skips its device sorts (~4.7 ms at bs 16000).
-    The input pipeline runs this on CPU, overlapped with the device step."""
+    The input pipeline runs this on CPU, overlapped with the device step.
+
+    ``unique_bucket``: when the step was built with a static unique
+    bucket, pass the same value here — a batch whose distinct-id count
+    exceeds it would silently drop ids on device, so the host prep
+    raises instead (the same fail-loud contract as the cache adapter's
+    ``max_swap``)."""
     import numpy as np
 
     def prep(batch: dict) -> dict:
@@ -795,6 +801,11 @@ def make_batch_sort(field_size: int):
         uidx_sorted = np.cumsum(newv, dtype=np.int32) - 1
         uq = np.full(n, 2**31 - 2, np.int32)
         u = sorted_ids[newv]
+        if unique_bucket is not None and u.size > unique_bucket:
+            raise RuntimeError(
+                f"batch has {u.size} distinct ids > unique_bucket "
+                f"{unique_bucket}; raise the bucket or shrink the batch"
+            )
         uq[: u.size] = u
         out["uq_ids"] = uq
         out["uidx"] = uidx_sorted[inv]

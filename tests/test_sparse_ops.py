@@ -32,3 +32,20 @@ def test_segment_sum_rows_combines_duplicates():
     seg = jnp.array([0, 1, 0])
     out = segment_sum_rows(vals, seg, num_segments=2)
     np.testing.assert_allclose(np.asarray(out), [[4.0, 4.0], [2.0, 2.0]])
+
+
+def test_batch_sort_unique_bucket_guard():
+    """Host prep must fail loud when a batch exceeds the static unique
+    bucket the step was compiled with (silent id drops otherwise)."""
+    import numpy as np
+    import pytest
+
+    from mindrec_tpu.train.step import make_batch_sort
+
+    prep = make_batch_sort(4, unique_bucket=8)
+    ok = {"ids": np.array([[1, 2, 3, 4]] * 4, np.int32)}
+    out = prep(ok)
+    assert out["uq_ids"].shape == (16,)
+    bad = {"ids": np.arange(16, dtype=np.int32).reshape(4, 4)}
+    with pytest.raises(RuntimeError, match="unique_bucket"):
+        prep(bad)
