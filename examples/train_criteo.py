@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--ckpt_interval", type=int, default=0,
                     help="save every N steps (0 = off); keep --ckpt_keep")
     ap.add_argument("--ckpt_keep", type=int, default=5)
+    ap.add_argument("--async_ckpt", type=lambda s: s.lower() == "true",
+                    default=False,
+                    help="write checkpoints on a background thread "
+                    "(AsyncCheckpointer): the trainer never blocks on disk")
     ap.add_argument("--resume", action="store_true",
                     help="restore the latest checkpoint in --ckpt_dir and "
                     "continue (the recovery half of the elastic story: "
@@ -234,7 +238,7 @@ def main():
 
         callbacks.append(CheckpointCallback(
             args.ckpt_dir, save_steps=args.ckpt_interval,
-            keep_max=args.ckpt_keep,
+            keep_max=args.ckpt_keep, async_save=args.async_ckpt,
         ))
     if args.resume:
         from mindrec_tpu.io.checkpoint import latest_checkpoint, restore_checkpoint

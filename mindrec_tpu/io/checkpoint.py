@@ -39,20 +39,10 @@ def _flatten(tree):
     return out, treedef
 
 
-def save_checkpoint(
-    directory: str | os.PathLike,
-    state,
-    step: int,
-    prefix: str = "ckpt",
-    keep_max: int | None = None,
-    process_index: int | None = None,
-    force_sliced: bool = False,
-) -> str:
-    """Save a pytree state. Returns the written file path."""
-    directory = Path(directory)
-    directory.mkdir(parents=True, exist_ok=True)
+def _snapshot(state, force_sliced: bool) -> tuple[dict, dict]:
+    """Fetch the state to host NOW (the only part that must be
+    synchronous with training): -> (arrays, index)."""
     flat, _ = _flatten(state)
-    rank = process_index if process_index is not None else jax.process_index()
     arrays = {}
     index = {}
     for key, leaf in flat.items():
@@ -73,11 +63,112 @@ def save_checkpoint(
         else:
             arrays[key] = np.asarray(arr)
             index[key] = {"global_shape": list(np.shape(arr)), "sliced": False}
+    return arrays, index
+
+
+def _write(
+    directory: Path,
+    prefix: str,
+    rank: int,
+    step: int,
+    arrays: dict,
+    index: dict,
+    keep_max: int | None,
+) -> str:
+    """Serialize + fsync-rename (atomic: a crash mid-write can never
+    leave a corrupt file that ``latest_checkpoint`` would pick up,
+    because the final name only appears on successful rename)."""
     path = directory / f"{prefix}-{step:010d}-r{rank}.npz"
-    np.savez(path, __index__=json.dumps(index), **arrays)
+    # leading "." hides it from latest_checkpoint/retention globs; the
+    # .npz suffix keeps np.savez from appending one
+    tmp = directory / f".{prefix}-{step:010d}-r{rank}.tmp.npz"
+    np.savez(tmp, __index__=json.dumps(index), **arrays)
+    os.replace(tmp, path)
     if keep_max is not None:
         _apply_retention(directory, prefix, rank, keep_max)
     return str(path)
+
+
+def save_checkpoint(
+    directory: str | os.PathLike,
+    state,
+    step: int,
+    prefix: str = "ckpt",
+    keep_max: int | None = None,
+    process_index: int | None = None,
+    force_sliced: bool = False,
+) -> str:
+    """Save a pytree state. Returns the written file path."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    rank = process_index if process_index is not None else jax.process_index()
+    arrays, index = _snapshot(state, force_sliced)
+    return _write(directory, prefix, rank, step, arrays, index, keep_max)
+
+
+class AsyncCheckpointer:
+    """Orbax-style asynchronous checkpointing (SURVEY §5: the TPU
+    equivalent of the reference's per-step PS-server checkpoints is a
+    sharded async save): :meth:`save` fetches the state to host
+    synchronously — device buffers are immutable, so training may
+    continue (and donate/overwrite its own copies) immediately — then
+    serializes + writes on a background thread, overlapping disk IO
+    with the next steps.
+
+    At most one write is in flight; a second :meth:`save` first waits
+    for the previous one (online-learning cadence: save every N steps,
+    the write has N steps of slack).  Call :meth:`wait_until_finished`
+    before reading the file or exiting."""
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="mrec-ckpt"
+        )
+        self._pending = None
+
+    def save(
+        self,
+        directory: str | os.PathLike,
+        state,
+        step: int,
+        prefix: str = "ckpt",
+        keep_max: int | None = None,
+        process_index: int | None = None,
+        force_sliced: bool = False,
+    ):
+        """Snapshot now, write in the background.  Returns a future
+        whose ``.result()`` is the written path."""
+        self.wait_until_finished()
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        rank = (
+            process_index if process_index is not None else jax.process_index()
+        )
+        arrays, index = _snapshot(state, force_sliced)
+        self._pending = self._pool.submit(
+            _write, directory, prefix, rank, step, arrays, index, keep_max
+        )
+        return self._pending
+
+    def wait_until_finished(self) -> str | None:
+        """Block until the in-flight write (if any) lands; returns its
+        path.  Re-raises any background write error."""
+        if self._pending is None:
+            return None
+        pending, self._pending = self._pending, None
+        return pending.result()
+
+    def close(self):
+        self.wait_until_finished()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _apply_retention(directory: Path, prefix: str, rank: int, keep_max: int):

@@ -170,12 +170,22 @@ class CheckpointCallback(Callback):
     (reference online-learning policy: every 100 steps keep 5,
     ``online_train.py:81-82``)."""
 
-    def __init__(self, directory: str, prefix: str = "ckpt", save_steps: int = 100, keep_max: int = 5):
+    def __init__(self, directory: str, prefix: str = "ckpt",
+                 save_steps: int = 100, keep_max: int = 5,
+                 async_save: bool = False):
+        """``async_save=True`` snapshots to host synchronously but
+        serializes/writes on a background thread (AsyncCheckpointer):
+        the trainer never blocks on disk between saves."""
         self.directory = directory
         self.prefix = prefix
         self.save_steps = save_steps
         self.keep_max = keep_max
         self.saved: list[str] = []
+        self._async = None
+        if async_save:
+            from mindrec_tpu.io.checkpoint import AsyncCheckpointer
+
+            self._async = AsyncCheckpointer()
 
     def on_train_step_end(self, ctx: RunContext):
         if ctx.cur_step_num % self.save_steps != 0:
@@ -189,14 +199,20 @@ class CheckpointCallback(Callback):
             gstep = int(ctx.train_state.step)
         except (AttributeError, TypeError):
             gstep = ctx.cur_step_num
-        path = save_checkpoint(
-            self.directory,
-            ctx.train_state,
-            step=gstep,
-            prefix=self.prefix,
-            keep_max=self.keep_max,
-        )
+        kw = dict(step=gstep, prefix=self.prefix, keep_max=self.keep_max)
+        if self._async is not None:
+            fut = self._async.save(self.directory, ctx.train_state, **kw)
+            self.saved.append(fut)  # resolved to paths at train end
+            return
+        path = save_checkpoint(self.directory, ctx.train_state, **kw)
         self.saved.append(path)
+
+    def on_train_end(self, ctx: RunContext):
+        if self._async is not None:
+            self._async.wait_until_finished()
+            self.saved = [
+                f.result() if hasattr(f, "result") else f for f in self.saved
+            ]
 
 
 class FaultInjector(Callback):

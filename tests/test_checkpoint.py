@@ -65,3 +65,66 @@ def test_sliced_save_and_merge(tmp_path, mesh8):
 
     restored = restore_checkpoint(p, like)
     np.testing.assert_allclose(np.asarray(restored["emb"]), full)
+
+
+def test_async_save_matches_sync(tmp_path):
+    """AsyncCheckpointer writes the same bytes-equal state as the sync
+    path, snapshots BEFORE returning (later mutation of the source
+    arrays must not leak into the file), and renames atomically (no
+    .tmp ever visible under the final name)."""
+    from mindrec_tpu.io.checkpoint import AsyncCheckpointer
+
+    s = {"t": np.arange(12, dtype=np.float32).reshape(3, 4), "n": np.ones(2)}
+    with AsyncCheckpointer() as ck:
+        fut = ck.save(tmp_path / "a", s, step=3)
+        s["t"][:] = -1.0  # post-save mutation: must not appear in file
+        p_async = ck.wait_until_finished()
+    assert fut.result() == p_async
+    p_sync = save_checkpoint(
+        tmp_path / "b",
+        {"t": np.arange(12, dtype=np.float32).reshape(3, 4), "n": np.ones(2)},
+        step=3,
+    )
+    za, zb = np.load(p_async), np.load(p_sync)
+    assert set(za.files) == set(zb.files)
+    for name in za.files:
+        np.testing.assert_array_equal(za[name], zb[name])
+    assert not list((tmp_path / "a").glob(".*"))  # no tmp leftovers
+    got = restore_checkpoint(p_async, {"t": np.zeros((3, 4)), "n": np.zeros(2)})
+    np.testing.assert_allclose(
+        np.asarray(got["t"]), np.arange(12, dtype=np.float32).reshape(3, 4)
+    )
+
+
+def test_async_retention_and_latest(tmp_path):
+    from mindrec_tpu.io.checkpoint import AsyncCheckpointer
+
+    s = _state()
+    with AsyncCheckpointer() as ck:
+        for step in range(5):
+            ck.save(tmp_path, s, step=step, keep_max=2)
+    files = sorted(f.name for f in tmp_path.iterdir())
+    assert files == [f"ckpt-{i:010d}-r0.npz" for i in (3, 4)]
+    _, step = latest_checkpoint(tmp_path)
+    assert step == 4
+
+
+def test_checkpoint_callback_async(tmp_path):
+    """CheckpointCallback(async_save=True): saves land, resolve to
+    paths at train end, and restore cleanly."""
+    from mindrec_tpu.train.callbacks import CheckpointCallback, RunContext
+
+    cb = CheckpointCallback(str(tmp_path), save_steps=2, keep_max=5,
+                            async_save=True)
+    state = _state()
+    ctx = RunContext()
+    for i in range(1, 5):
+        ctx.cur_step_num = i
+        ctx.train_state = state
+        cb.on_train_step_end(ctx)
+    cb.on_train_end(ctx)
+    assert all(isinstance(p, str) for p in cb.saved) and len(cb.saved) == 2
+    got = restore_checkpoint(cb.saved[-1], jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_allclose(
+        np.asarray(got["table"]), np.asarray(state["table"])
+    )
