@@ -92,3 +92,24 @@ def test_channel_sharding_round_robin():
     r0, r1 = DataReceiver(ch, 0), DataReceiver(ch, 1)
     assert [r0.recv(), r0.recv()] == [0, 2]
     assert [r1.recv(), r1.recv()] == [1, 3]
+
+
+def test_online_freshness_minute_level(tmp_path):
+    """Measured E2E freshness (sample send -> covering checkpoint on
+    disk) stays minute-level — the reference's headline online-learning
+    claim (RELEASE.md:19), which it never measures; here it is a gate.
+    Also pins the measurement harness (benchmarks/online_freshness.py)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent / "benchmarks"))
+    from online_freshness import measure
+
+    out = measure(
+        batch_size=32, field_size=8, vocab=2000, emb_dim=4, steps=8,
+        ckpt_interval=4, ckpt_dir=str(tmp_path), async_ckpt=True,
+        deep_layer_dim=(16, 8),
+    )
+    assert out["covered"] == out["batches"] == 8
+    assert out["freshness_worst_s"] < 60.0, out
+    assert out["serving_reload_s"] < 60.0, out
