@@ -115,19 +115,35 @@ class DeepFMModel:
     def apply_rows(self, params, rows, wts, train=False, rng=None):
         c = self.config
         w_rows, v_rows = rows["linear"], rows["fm"]
+        B, F, D = wts.shape[0], c.field_size, c.emb_dim
         # elementwise FM work stays at the rows' (mixed) precision — an
-        # f32 mask would promote every [B,F,D] tensor, doubling the HBM
-        # traffic of the step's widest intermediates; reductions
-        # accumulate in f32
+        # f32 mask would promote every widest-tensor intermediate,
+        # doubling its HBM traffic; reductions accumulate in f32
         mask = wts[:, :, None]
         linear_out = jnp.sum(
             w_rows * mask.astype(w_rows.dtype), axis=(1, 2), dtype=jnp.float32
         )[:, None]  # [B,1]
-        vx = v_rows * mask.astype(v_rows.dtype)  # [B,F,D]
-        v1 = jnp.square(jnp.sum(vx, axis=1, dtype=jnp.float32))  # (sum_f v)^2
-        v2 = jnp.sum(jnp.square(vx.astype(jnp.float32)), axis=1)  # sum_f v^2
-        fm_out = 0.5 * jnp.sum(v1 - v2, axis=1)[:, None]  # [B,1]
-        deep_in = vx.reshape(-1, c.field_size * c.emb_dim)
+        # FM + deep tower share ONE flat masked tensor.  The mask is
+        # applied in the rows' native [B*F, D] layout and the
+        # per-sample field sum runs on the MXU via a tiled-identity
+        # matmul — no [B,F,D] tensor exists, so XLA emits neither the
+        # lane-repadding reshape copies nor the {2,1,0}->{0,2,1}
+        # transpose a middle-axis reduce forces (~2 ms of the 18 ms
+        # step at bs 16000; benchmarks/PROFILE_r02.md).
+        vxN = v_rows.reshape(B * F, D) * wts.reshape(B * F, 1).astype(
+            v_rows.dtype
+        )
+        deep_in = vxN.reshape(B, F * D)
+        eye = jnp.eye(D, dtype=deep_in.dtype)
+        field_sum = jax.lax.dot(
+            deep_in, jnp.tile(eye, (F, 1)),
+            preferred_element_type=jnp.float32,
+        )  # [B, D] = sum_f vx  (exact: eye entries are 1.0, f32 accum)
+        v1 = jnp.sum(jnp.square(field_sum), axis=1)  # sum_d (sum_f v)^2
+        v2 = jnp.sum(
+            jnp.square(vxN.astype(jnp.float32)), axis=1
+        ).reshape(B, F).sum(axis=1)  # sum_{f,d} v^2
+        fm_out = (0.5 * (v1 - v2))[:, None]  # [B,1]
         deep_out = self._mlp(params["mlp"], deep_in, train, rng)
         return linear_out + fm_out + deep_out
 
