@@ -39,6 +39,16 @@ def _flatten(tree):
     return out, treedef
 
 
+def _host_copy(x) -> np.ndarray:
+    """Host snapshot that OWNS its memory: ``np.asarray`` on a plain
+    ndarray is a view — a caller mutating its state after an async
+    ``save`` returned would corrupt the pending write (device arrays
+    already copy on fetch)."""
+    if isinstance(x, np.ndarray):
+        return x.copy()
+    return np.asarray(x)
+
+
 def _snapshot(state, force_sliced: bool) -> tuple[dict, dict]:
     """Fetch the state to host NOW (the only part that must be
     synchronous with training): -> (arrays, index)."""
@@ -55,13 +65,13 @@ def _snapshot(state, force_sliced: bool) -> tuple[dict, dict]:
             # save only this process's shards (sliced checkpoint)
             shards = [s for s in arr.addressable_shards]
             for s in shards:
-                arrays[f"{key}@@shard{s.index}"] = np.asarray(s.data)
+                arrays[f"{key}@@shard{s.index}"] = _host_copy(s.data)
             index[key] = {
                 "global_shape": list(arr.shape),
                 "sliced": True,
             }
         else:
-            arrays[key] = np.asarray(arr)
+            arrays[key] = _host_copy(arr)
             index[key] = {"global_shape": list(np.shape(arr)), "sliced": False}
     return arrays, index
 

@@ -91,7 +91,7 @@ def fused_schedule(cols_u, cols_g, Vc: int, tile: int, chunk: int,
     boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
 
     def windows(cols):
-        starts = jnp.searchsorted(cols, boundaries).astype(jnp.int32)
+        starts = su.searchsorted_bc(cols, boundaries)
         s0 = (starts[:-1] // chunk) * chunk
         cnt = jnp.where(
             starts[1:] > starts[:-1],
@@ -109,7 +109,7 @@ def fused_schedule(cols_u, cols_g, Vc: int, tile: int, chunk: int,
     j = jnp.arange(S, dtype=jnp.int32)
     valid = j < total
     j_eff = jnp.where(valid, j, jnp.maximum(total - 1, 0))
-    t = jnp.clip(jnp.searchsorted(offs, j_eff, side="right") - 1, 0, ntiles - 1)
+    t = jnp.clip(su.searchsorted_bc(offs, j_eff, side="right") - 1, 0, ntiles - 1)
     k = j_eff - offs[t]
     is_g = k >= cnt_u[t]
     kg = k - cnt_u[t]

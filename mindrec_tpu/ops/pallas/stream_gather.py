@@ -146,9 +146,7 @@ def chunk_schedule(cols_sorted, Vc: int, tile: int, chunk: int):
     nchunks = n // chunk
     ntiles = Vc // tile
     S = nchunks + ntiles  # Σ (tiles spanned per chunk) ≤ nchunks + ntiles
-    n_real = jnp.searchsorted(
-        cols_sorted, jnp.asarray(Vc, cols_sorted.dtype)
-    ).astype(jnp.int32)
+    n_real = _su.searchsorted_bc(cols_sorted, jnp.asarray(Vc, cols_sorted.dtype))
     c_iota = jnp.arange(nchunks, dtype=jnp.int32)
     first_col = cols_sorted[:: chunk]
     last_idx = jnp.minimum((c_iota + 1) * chunk, n_real) - 1
@@ -162,7 +160,7 @@ def chunk_schedule(cols_sorted, Vc: int, tile: int, chunk: int):
     j = jnp.arange(S, dtype=jnp.int32)
     valid = j < total
     j_eff = jnp.where(valid, j, jnp.maximum(total - 1, 0))
-    c = jnp.clip(jnp.searchsorted(offs, j_eff, side="right") - 1, 0, nchunks - 1)
+    c = jnp.clip(_su.searchsorted_bc(offs, j_eff, side="right") - 1, 0, nchunks - 1)
     k = j_eff - offs[c]
     t = t_lo[c] + k
     first = (k == 0) & valid
@@ -291,7 +289,7 @@ def streamed_gather(
         [cols_sorted.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**31 - 2))]
     ).reshape(1, -1)
     boundaries = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
-    starts = jnp.searchsorted(cols_sorted, boundaries).astype(jnp.int32)
+    starts = _su.searchsorted_bc(cols_sorted, boundaries)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

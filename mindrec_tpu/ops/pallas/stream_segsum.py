@@ -86,7 +86,7 @@ def segsum_schedule(uidx_sorted, n_pad: int, width: int, chunk: int):
     j = jnp.arange(S, dtype=jnp.int32)
     valid = j < total
     j_eff = jnp.where(valid, j, total - 1)
-    c = jnp.clip(jnp.searchsorted(offs, j_eff, side="right") - 1, 0, nchunks - 1)
+    c = jnp.clip(su.searchsorted_bc(offs, j_eff, side="right") - 1, 0, nchunks - 1)
     k = j_eff - offs[c]
     blk = jnp.where(k == 0, b0[c], b1[c])
     # first visit of this output block (blocks are non-decreasing)
