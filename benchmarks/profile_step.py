@@ -42,6 +42,18 @@ def timeit(name, fn, *args, n=20):
     return out
 
 
+def _full_prep(ids):
+    """bench.py's _device_prep: sort + inverse perm + padded uniques."""
+    n = ids.size
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
+    _, inv = jax.lax.sort_key_val(perm, iota)
+    newv = jnp.concatenate([jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+    uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+    uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
+    return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted
+
+
 def main():
     cfg = WideDeepConfig(
         batch_size=16000, field_size=39, vocab_size=5_860_000, emb_dim=16,
@@ -52,7 +64,11 @@ def main():
     opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
     opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
-    data = SyntheticCriteo(cfg.batch_size, cfg.field_size, cfg.vocab_size, steps=1)
+    data = SyntheticCriteo(cfg.batch_size, cfg.field_size, cfg.vocab_size,
+                           steps=1, fields="criteo")
+    import numpy as _np
+
+    bucket = int(_np.unique(_np.asarray(data.get_batch(0)["ids"])).size * 1.2)
     b = {k: jax.device_put(v) for k, v in data.get_batch(0).items()}
     N = b["ids"].size
 
@@ -67,8 +83,17 @@ def main():
     b["sorted_ids"], b["perm"], b["inv"] = _prep(b["ids"])
     fence(b["inv"])
 
-    # 0. full production step
-    step = make_train_step(model, opt_w, opt_d, jit=True, donate=False)
+    # 0. full production step — bench parity: criteo-shaped ids, a
+    # derived static unique bucket, and host-precomputed unique
+    # metadata.  (The previous lossless-bucket ub=624000 donate=False
+    # variant was a one-off program whose remote compile could run >15
+    # minutes — see the tunnel-variability memory note.)
+    prep_all = jax.jit(_full_prep)
+    (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"],
+     b["uidx_sorted"]) = prep_all(b["ids"])
+    fence(b["uidx"])
+    step = make_train_step(model, opt_w, opt_d, jit=True, donate=False,
+                           unique_bucket=bucket)
     timeit("FULL sparse step", step, state, b)
 
     # table specs
