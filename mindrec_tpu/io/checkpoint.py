@@ -40,13 +40,15 @@ def _flatten(tree):
 
 
 def _host_copy(x) -> np.ndarray:
-    """Host snapshot that OWNS its memory: ``np.asarray`` on a plain
-    ndarray is a view — a caller mutating its state after an async
-    ``save`` returned would corrupt the pending write (device arrays
-    already copy on fetch)."""
-    if isinstance(x, np.ndarray):
-        return x.copy()
-    return np.asarray(x)
+    """Host snapshot that OWNS its memory.  ``np.asarray`` on a plain
+    ndarray is a view, and on the CPU backend it can also be a
+    zero-copy view of a jax.Array's device buffer — which a donating
+    train step overwrites while the async writer is still serializing.
+    Copy unless numpy proves the result owns its buffer."""
+    out = np.asarray(x)
+    if out.base is None and out.flags.owndata:
+        return out
+    return out.copy()
 
 
 def _snapshot(state, force_sliced: bool) -> tuple[dict, dict]:
@@ -85,15 +87,25 @@ def _write(
     index: dict,
     keep_max: int | None,
 ) -> str:
-    """Serialize + fsync-rename (atomic: a crash mid-write can never
-    leave a corrupt file that ``latest_checkpoint`` would pick up,
-    because the final name only appears on successful rename)."""
+    """Serialize + fsync + rename (atomic against process AND machine
+    crash: the temp file is fsynced before the rename and the directory
+    after it, so the final name can never point at truncated data)."""
     path = directory / f"{prefix}-{step:010d}-r{rank}.npz"
     # leading "." hides it from latest_checkpoint/retention globs; the
     # .npz suffix keeps np.savez from appending one
     tmp = directory / f".{prefix}-{step:010d}-r{rank}.tmp.npz"
     np.savez(tmp, __index__=json.dumps(index), **arrays)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
+    dfd = os.open(directory, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     if keep_max is not None:
         _apply_retention(directory, prefix, rank, keep_max)
     return str(path)
@@ -204,13 +216,26 @@ def latest_checkpoint(directory: str | os.PathLike, prefix: str = "ckpt", rank: 
     return (str(best), best_step) if best else (None, -1)
 
 
-def restore_checkpoint(path: str | os.PathLike, like):
-    """Restore into the structure of ``like`` (a template pytree)."""
+def restore_checkpoint(path: str | os.PathLike, like, shardings=None):
+    """Restore into the structure of ``like`` (a template pytree).
+
+    ``shardings``: optional pytree of ``jax.sharding.Sharding`` matching
+    ``like`` — each restored leaf is ``device_put`` onto it, so a sliced
+    checkpoint saved on one mesh can resume directly onto a *different*
+    topology (the reference's strategy-ckpt reload under auto-parallel,
+    ``models/wide_deep/eval.py:84-105``).  When omitted, leaves of
+    ``like`` that are committed sharded ``jax.Array``\\ s contribute their
+    own sharding; plain arrays restore to host numpy as before."""
     z = np.load(path, allow_pickle=False)
     index = json.loads(str(z["__index__"]))
     flat_like, treedef = _flatten_with_treedef(like)
+    flat_sh = (
+        [s for _, s in _flatten_with_treedef(shardings)[0]]
+        if shardings is not None
+        else [_leaf_sharding(leaf) for _, leaf in flat_like]
+    )
     leaves = []
-    for key, leaf in flat_like:
+    for (key, leaf), sh in zip(flat_like, flat_sh):
         info = index.get(key)
         if info is None:
             raise KeyError(f"checkpoint missing key {key}")
@@ -218,8 +243,26 @@ def restore_checkpoint(path: str | os.PathLike, like):
             arr = _merge_shards(z, key, tuple(info["global_shape"]))
         else:
             arr = z[key]
-        leaves.append(jax.numpy.asarray(arr).astype(np.asarray(leaf).dtype))
+        arr = np.asarray(arr).astype(np.asarray(leaf).dtype)
+        if sh is not None:
+            leaves.append(jax.device_put(arr, sh))
+        else:
+            leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _leaf_sharding(leaf):
+    """The sharding to restore onto, inferred from a template leaf:
+    only committed, explicitly-sharded jax.Arrays opt in (a bare
+    ``jnp.asarray`` template keeps the legacy host-restore behavior)."""
+    if isinstance(leaf, jax.Array):
+        try:
+            sh = leaf.sharding
+        except Exception:
+            return None
+        if isinstance(sh, jax.sharding.NamedSharding):
+            return sh
+    return None
 
 
 def _flatten_with_treedef(tree):

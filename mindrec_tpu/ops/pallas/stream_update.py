@@ -114,6 +114,9 @@ def _expand_touch(touch, dim: int, fold: int):
 # ---------------------------------------------------------------------------
 
 
+_BC_CAP = 200_000_000  # broadcast-compare lanes before falling back
+
+
 def searchsorted_bc(a, v, side: str = "left"):
     """Exact ``jnp.searchsorted`` replacement via one broadcast
     compare + reduce.  TPU lowers ``jnp.searchsorted`` to a serialized
@@ -125,6 +128,11 @@ def searchsorted_bc(a, v, side: str = "left"):
     v_arr = jnp.asarray(v)
     scalar = v_arr.ndim == 0
     vv = v_arr.reshape(-1)
+    if int(a.size) * int(vv.size) > _BC_CAP:
+        # outside the schedule regime (huge vocab x tiny tile) the
+        # broadcast would materialize O(|a|*|v|); keep the log-N path
+        out = jnp.searchsorted(a, vv, side=side).astype(jnp.int32)
+        return out[0] if scalar else out
     if side == "left":
         c = a[None, :] < vv[:, None]
     else:

@@ -202,17 +202,20 @@ class CheckpointCallback(Callback):
         kw = dict(step=gstep, prefix=self.prefix, keep_max=self.keep_max)
         if self._async is not None:
             fut = self._async.save(self.directory, ctx.train_state, **kw)
-            self.saved.append(fut)  # resolved to paths at train end
+            # .saved holds str paths only: append from a done-callback so
+            # mid-run (or post-crash) readers never see Future objects
+            fut.add_done_callback(
+                lambda f: self.saved.append(f.result())
+                if f.exception() is None
+                else None
+            )
             return
         path = save_checkpoint(self.directory, ctx.train_state, **kw)
         self.saved.append(path)
 
     def on_train_end(self, ctx: RunContext):
         if self._async is not None:
-            self._async.wait_until_finished()
-            self.saved = [
-                f.result() if hasattr(f, "result") else f for f in self.saved
-            ]
+            self._async.close()
 
 
 class FaultInjector(Callback):

@@ -96,21 +96,37 @@ class GroupedMapMetric(Metric):
         self._groups.append(np.asarray(group_ids).reshape(-1))
 
     def eval(self) -> float:
-        scores = np.concatenate(self._scores)
-        labels = np.concatenate(self._labels)
+        """Vectorized: ONE lexsort by (group, -score) + segment cumsums
+        — no Python loop over groups (an Outbrain eval pass has ~10k+
+        display_ids per 131k-row batch).  Exactly equivalent to the
+        per-group ``argsort(-s, kind="mergesort")[:k]`` formulation:
+        lexsort is stable, so equal (group, score) rows keep insertion
+        order, matching the mergesort tiebreak."""
+        scores = np.concatenate(self._scores).astype(np.float64)
+        labels = np.concatenate(self._labels).astype(np.float64)
         groups = np.concatenate(self._groups)
-        ap_sum, n_groups = 0.0, 0
-        for g in np.unique(groups):
-            m = groups == g
-            s, l = scores[m], labels[m]
-            order = np.argsort(-s, kind="mergesort")[: self.k]
-            l_top = l[order]
-            hits = np.cumsum(l_top)
-            prec = hits / (np.arange(l_top.size) + 1.0)
-            denom = min(int(l.sum()), self.k)
-            if denom > 0:
-                ap_sum += float((prec * l_top).sum() / denom)
-                n_groups += 1
-        if n_groups == 0:
+        n = scores.size
+        order = np.lexsort((-scores, groups))
+        g_sorted = groups[order]
+        l_sorted = labels[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        np.not_equal(g_sorted[1:], g_sorted[:-1], out=new[1:])
+        gidx = np.cumsum(new) - 1  # 0..G-1 per row
+        starts = np.flatnonzero(new)  # first row of each group
+        # rank of each row within its group (0-based, score-descending)
+        rank = np.arange(n) - starts[gidx]
+        # within-group cumulative hit count at each rank
+        cum = np.cumsum(l_sorted)
+        base = np.where(starts > 0, cum[starts - 1], 0.0)
+        seg_cum = cum - base[gidx]
+        # AP numerator terms: precision@r * rel_r for the top-k ranks
+        topk = rank < self.k
+        contrib = np.where(topk, seg_cum / (rank + 1.0) * l_sorted, 0.0)
+        ap_num = np.bincount(gidx, weights=contrib)
+        totals = np.bincount(gidx, weights=l_sorted)
+        denom = np.minimum(totals, float(self.k))
+        valid = denom > 0
+        if not valid.any():
             return 0.0
-        return ap_sum / n_groups
+        return float((ap_num[valid] / denom[valid]).mean())

@@ -128,3 +128,49 @@ def test_checkpoint_callback_async(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["table"]), np.asarray(state["table"])
     )
+
+
+def test_reshard_on_restore(tmp_path, mesh8):
+    """Save sliced on an 8-device mesh, resume onto a 4-device mesh:
+    restore_checkpoint(path, like, shardings=...) device_puts every
+    leaf to the NEW topology and the forward output is identical
+    (reference strategy-ckpt reload under auto-parallel,
+    models/wide_deep/eval.py:84-105)."""
+    from jax.sharding import Mesh
+
+    full = np.arange(64 * 16, dtype=np.float32).reshape(64, 16)
+    w = np.linspace(-1, 1, 16 * 4, dtype=np.float32).reshape(16, 4)
+    state = {
+        "emb": jax.device_put(jnp.asarray(full), NamedSharding(mesh8, P("data", None))),
+        "w": jax.device_put(jnp.asarray(w), NamedSharding(mesh8, P())),
+    }
+    p = save_checkpoint(tmp_path, state, step=1, force_sliced=True)
+
+    @jax.jit
+    def fwd(st, ids):
+        return st["emb"][ids] @ st["w"]
+
+    ids = jnp.asarray([0, 5, 63, 17])
+    want = np.asarray(fwd(state, ids))
+
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("data",))
+    like = {"emb": jnp.zeros((64, 16)), "w": jnp.zeros((16, 4))}
+    shardings = {
+        "emb": NamedSharding(mesh4, P("data", None)),
+        "w": NamedSharding(mesh4, P()),
+    }
+    got_state = restore_checkpoint(p, like, shardings=shardings)
+    assert got_state["emb"].sharding == shardings["emb"]
+    assert {d.id for d in got_state["emb"].sharding.device_set} == {
+        d.id for d in jax.devices()[:4]
+    }
+    np.testing.assert_allclose(np.asarray(fwd(got_state, ids)), want)
+
+    # template-driven variant: a live sharded state as `like` supplies
+    # the shardings itself
+    live_like = jax.tree.map(
+        lambda l, s: jax.device_put(np.zeros_like(l), s), like, shardings
+    )
+    got2 = restore_checkpoint(p, live_like)
+    assert got2["emb"].sharding == shardings["emb"]
+    np.testing.assert_allclose(np.asarray(fwd(got2, ids)), want)

@@ -43,3 +43,48 @@ def test_grouped_map_at_k():
     )
     # group 1: positive ranked second -> AP = 1/2
     assert abs(m.eval() - 0.75) < 1e-9
+
+
+def _map_at_k_loop(scores, labels, groups, k):
+    """Per-group loop reference (the pre-vectorization implementation)."""
+    ap_sum, n_groups = 0.0, 0
+    for g in np.unique(groups):
+        m = groups == g
+        s, l = scores[m], labels[m]
+        order = np.argsort(-s, kind="mergesort")[:k]
+        l_top = l[order]
+        prec = np.cumsum(l_top) / (np.arange(l_top.size) + 1.0)
+        denom = min(int(l.sum()), k)
+        if denom > 0:
+            ap_sum += float((prec * l_top).sum() / denom)
+            n_groups += 1
+    return ap_sum / n_groups if n_groups else 0.0
+
+
+def test_grouped_map_matches_loop_reference():
+    rng = np.random.default_rng(7)
+    n = 20_000
+    groups = rng.integers(0, 1500, size=n)
+    scores = np.round(rng.uniform(size=n), 2)  # ties
+    labels = (rng.uniform(size=n) > 0.8).astype(np.float64)
+    m = GroupedMapMetric(k=12)
+    m.update(scores, labels, groups)
+    ref = _map_at_k_loop(scores, labels, groups, 12)
+    np.testing.assert_allclose(m.eval(), ref, atol=1e-12)
+
+
+def test_grouped_map_eval_is_fast():
+    # Outbrain-scale eval pass: 131k rows, ~11k display groups, < 1 s
+    import time
+
+    rng = np.random.default_rng(0)
+    n = 131_072
+    groups = rng.integers(0, 11_000, size=n)
+    scores = rng.uniform(size=n)
+    labels = (rng.uniform(size=n) > 0.8).astype(np.float64)
+    m = GroupedMapMetric(k=12)
+    m.update(scores, labels, groups)
+    t0 = time.perf_counter()
+    v = m.eval()
+    assert time.perf_counter() - t0 < 1.0
+    assert 0.0 < v < 1.0
