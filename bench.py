@@ -165,20 +165,75 @@ def bench_deepfm(args):
 
 
 def bench_host_prep(args):
-    """make_batch_sort wall time per batch on one CPU worker."""
+    """make_batch_sort wall time per batch on one CPU worker (the
+    pipeline's hot config: native radix prep, minimal output set)."""
     from mindrec_tpu.data.criteo import SyntheticCriteo
     from mindrec_tpu.train.step import make_batch_sort
 
     data = SyntheticCriteo(args.batch_size, args.field_size, args.vocab_size,
                            steps=4, seed=0, fields=args.fields)
     host_batches = [data.get_batch(s) for s in range(4)]
-    prep = make_batch_sort(args.field_size)
+    prep = make_batch_sort(args.field_size, minimal=True)
     prep(host_batches[0])  # warm
     t0 = time.perf_counter()
     n = 8
     for i in range(n):
         prep(host_batches[i % 4])
     return (time.perf_counter() - t0) / n * 1e3
+
+
+def bench_wide_deep_e2e(args):
+    """END-TO-END pipeline throughput from RAW host batches: fresh
+    numpy batches -> 1-worker native prep pool -> async device staging
+    -> jitted step (``data/pipeline.py``; the reference's dataset-sink
+    loop, ``mindspore_rec/train/rec_model.py:124-131``).  No
+    pre-staging, no batch reuse on device.
+
+    NB on this dev rig the host->device tunnel moves ~60 MB/s, so this
+    number is TRANSFER-bound (~11 MB/batch), not pipeline-bound: the
+    host stages sustain step rate with one worker (host_prep extra) and
+    the same pipeline is step-bound on any PCIe host — see
+    benchmarks/PROFILE_r03.md for the measured breakdown."""
+    import jax
+
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.data.pipeline import AdaptiveBucket, SparseInputPipeline
+    from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step
+
+    cfg = WideDeepConfig(
+        batch_size=args.batch_size, field_size=args.field_size,
+        vocab_size=args.vocab_size, emb_dim=args.emb_dim,
+        deep_layer_dim=tuple([args.hidden] * args.layers),
+        use_mixed_precision=True, sparse=True, loss_scale=1024.0,
+    )
+    model = WideDeepModel(cfg)
+    opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    warmup, steps = 3, args.e2e_steps
+    total = warmup + steps
+    data = SyntheticCriteo(cfg.batch_size, cfg.field_size, cfg.vocab_size,
+                           steps=total, seed=0, fields=args.fields)
+    policy = AdaptiveBucket.from_sample(
+        [data.get_batch(s) for s in range(4)], log=lambda *a, **k: None
+    )
+    state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
+    step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
+    pipe = SparseInputPipeline(
+        (data.get_batch(s) for s in range(total)),
+        field_size=cfg.field_size, policy=policy, workers=1, depth=3,
+    )
+    it = iter(pipe)
+    for _ in range(warmup):
+        state, losses = step(state, next(it))
+    float(losses[1])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = step(state, next(it))
+    float(losses[1])
+    dt = time.perf_counter() - t0
+    return steps * cfg.batch_size / dt
 
 
 def main():
@@ -219,6 +274,9 @@ def main():
         help="embedding-table storage: bf16 halves the table HBM streams "
         "(AUC-parity gate: tests/test_accuracy.py)",
     )
+    ap.add_argument("--e2e-steps", type=int, default=12,
+                    help="timed steps for the end-to-end pipeline extra "
+                    "(each uploads ~11 MB through the dev tunnel)")
     ap.add_argument("--skip-extras", action="store_true",
                     help="primary wide_deep metric only")
     args = ap.parse_args()
@@ -257,6 +315,16 @@ def main():
             "metric": "host_prep_ms_per_batch",
             "value": round(prep_ms, 2), "unit": "ms",
             "workers_to_overlap": int(np.ceil(prep_ms / step_ms)),
+        })
+        e2e_sps = bench_wide_deep_e2e(args)
+        extras.append({
+            "metric": "wide_deep_e2e_pipeline_samples_per_sec_1chip",
+            "value": round(e2e_sps, 1), "unit": "samples/s",
+            "vs_baseline": round(e2e_sps / WD_BASELINE, 3),
+            "note": "raw host batches, no pre-staging; transfer-bound "
+                    "through this rig's ~60 MB/s host->device tunnel "
+                    "(PROFILE_r03.md) — host prep sustains step rate "
+                    "with 1 worker",
         })
     print(
         json.dumps(

@@ -1,0 +1,245 @@
+"""Async end-to-end input pipeline: raw host batches -> multi-worker
+host prep -> async device staging -> jitted step.
+
+This is the TPU-native re-design of the reference's dataset-sink
+engine: MindData's native pipeline threads prepare batches and feed a
+device queue the compiled graph pops (``mindspore_rec/train/
+rec_model.py:124-131``; SURVEY §3.1 boundary #2).  Here the pieces are
+explicit and composable:
+
+* :class:`HostPrepPool` — N worker threads run the native batch prep
+  (``native/libmindrec_batchprep.so`` releases the GIL, so plain
+  threads give true overlap with zero pickling) while preserving batch
+  order; bounded in-flight depth applies back-pressure.
+* :class:`AdaptiveBucket` — the production ``unique_bucket`` policy:
+  tracks the running distinct-id count, warns at 90% occupancy, and on
+  overflow grows the bucket (rounded to the kernel tile quantum) so
+  the trainer re-jits once instead of crashing (the bare
+  ``RuntimeError`` a static bucket would raise).
+* :class:`SparseInputPipeline` — composes raw-batch source -> prep pool
+  -> :class:`PrefetchToDevice`; on :class:`BucketOverflow` it re-preps
+  the offending batch at the grown bucket and invokes ``on_grow`` so
+  the trainer swaps in a re-jitted step (growing is always safe: the
+  bucket only pads, so already-staged batches remain valid).
+
+Steady-state throughput = max(step, prep/workers, host->device copy).
+On production hosts the PCIe copy (~GB/s) is negligible and one prep
+worker sustains the 16000-sample W&D step (prep ~10 ms < step ~22 ms);
+through this dev rig's ~60 MB/s tunnel the copy dominates instead —
+see benchmarks/PROFILE_r03.md for the measured breakdown.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import threading
+
+import numpy as np
+
+from mindrec_tpu.data.criteo import PrefetchToDevice
+from mindrec_tpu.train.step import BucketOverflow, make_batch_sort
+
+
+def round_bucket(n: int, quantum: int = 2048) -> int:
+    """Round a distinct-id bound up to the streamed kernels' tile
+    quantum (``train/step.py`` rounds ``unique_bucket`` the same way)."""
+    return max(quantum, (int(n) + quantum - 1) // quantum * quantum)
+
+
+class AdaptiveBucket:
+    """Production ``unique_bucket`` policy (VERDICT r2 item 9).
+
+    ``observe(nu)`` tracks the running max distinct-id count and warns
+    once past ``warn_frac`` occupancy; ``grow(nu)`` returns the new
+    bucket after an overflow (``nu * headroom``, tile-rounded).
+    """
+
+    def __init__(self, bucket: int, headroom: float = 1.2,
+                 warn_frac: float = 0.9, quantum: int = 2048,
+                 log=print):
+        self.bucket = round_bucket(bucket, quantum)
+        self.headroom = headroom
+        self.warn_frac = warn_frac
+        self.quantum = quantum
+        self.max_seen = 0
+        self._warned = False
+        self._log = log
+
+    @classmethod
+    def from_sample(cls, batches, **kw) -> "AdaptiveBucket":
+        """Derive the initial bucket from sample batches (the bench's
+        x-headroom derivation, now a first-class constructor)."""
+        headroom = kw.get("headroom", 1.2)
+        mx = max(
+            int(np.unique(np.asarray(b["ids"])).size) for b in batches
+        )
+        return cls(int(mx * headroom), **kw)
+
+    def observe(self, nu: int):
+        if nu > self.max_seen:
+            self.max_seen = nu
+        if not self._warned and nu > self.warn_frac * self.bucket:
+            self._warned = True
+            self._log(
+                f"[mindrec] unique_bucket at {nu}/{self.bucket} "
+                f"(> {self.warn_frac:.0%}); an overflow will re-jit at "
+                f"~{round_bucket(int(self.bucket * self.headroom), self.quantum)}",
+                flush=True,
+            )
+
+    def grow(self, nu: int) -> int:
+        new = round_bucket(int(max(nu, self.bucket) * self.headroom),
+                           self.quantum)
+        self._log(
+            f"[mindrec] unique_bucket overflow: {nu} distinct ids > "
+            f"{self.bucket}; growing to {new} (one-time re-jit)",
+            flush=True,
+        )
+        self.bucket = new
+        self._warned = False
+        return new
+
+
+class HostPrepPool:
+    """Ordered multi-worker prep over an iterator of host batches.
+
+    ``prep`` runs inside ``workers`` threads — the native batch-prep
+    call releases the GIL, so prep genuinely overlaps the (also mostly
+    GIL-free) device step dispatch.  At most ``depth`` batches are in
+    flight; results are yielded strictly in source order.
+
+    ``prep`` may raise; the exception surfaces on the consumer side in
+    order, carrying ``.raw_batch`` so a supervisor can retry.
+    """
+
+    def __init__(self, source, prep, workers: int = 1, depth: int = 3):
+        self.source = source
+        self.prep = prep
+        self.workers = max(1, int(workers))
+        self.depth = max(self.workers, int(depth))
+
+    def __iter__(self):
+        ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.workers, thread_name_prefix="mrec-prep"
+        )
+        futs: collections.deque = collections.deque()
+        it = iter(self.source)
+
+        def submit_next() -> bool:
+            try:
+                raw = next(it)
+            except StopIteration:
+                return False
+            fut = ex.submit(self.prep, raw)
+            fut.raw_batch = raw
+            futs.append(fut)
+            return True
+
+        try:
+            for _ in range(self.depth):
+                if not submit_next():
+                    break
+            while futs:
+                fut = futs.popleft()
+                try:
+                    out = fut.result()
+                except BaseException as e:
+                    e.raw_batch = fut.raw_batch
+                    raise
+                submit_next()
+                yield out
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+
+class SparseInputPipeline:
+    """raw host batches -> prep pool -> (optional) device prefetch.
+
+    The end-to-end dataset-sink for sparse training: yields batches
+    ready for a ``make_train_step(..., unique_bucket=policy.bucket)``
+    step.  On bucket overflow it grows the policy, re-preps the
+    offending batch, and calls ``on_grow(new_bucket)`` (the trainer
+    swaps in a re-jitted step; in-flight batches stay valid because a
+    larger bucket only pads further).
+
+    Args:
+      source: iterable of raw host batches (dicts with ``ids`` etc.).
+      field_size: ids per sample (prep contract).
+      policy: :class:`AdaptiveBucket` (or None: lossless prep, no
+        bucket checks — the step must then use its default bucket).
+      workers/depth: prep pool size.
+      device: stage onto the default device via
+        :class:`PrefetchToDevice` (set False for host-side consumers
+        and CPU tests).
+      sharding: optional sharding (dict or single) for device staging.
+      minimal: drop ``sorted_ids``/``inv`` from prep output (the jitted
+        step never reads them; saves prep time and transfer bytes).
+      on_grow: callable(new_bucket) invoked after a re-bucket.
+    """
+
+    def __init__(self, source, field_size: int, policy=None,
+                 workers: int = 1, depth: int = 3, device: bool = True,
+                 sharding=None, minimal: bool = True, on_grow=None,
+                 prefetch_depth: int = 2):
+        self.source = source
+        self.field_size = field_size
+        self.policy = policy
+        self.workers = workers
+        self.depth = depth
+        self.device = device
+        self.sharding = sharding
+        self.minimal = minimal
+        self.on_grow = on_grow
+        self.prefetch_depth = prefetch_depth
+        self._lock = threading.Lock()
+        self._make_prep()
+
+    def _make_prep(self):
+        bucket = self.policy.bucket if self.policy is not None else None
+        base = make_batch_sort(
+            self.field_size, unique_bucket=bucket, minimal=self.minimal
+        )
+        policy = self.policy
+
+        if policy is None:
+            self._prep = base
+            return
+
+        def prep(raw):
+            out = base(raw)
+            # distinct count = final unique index + 1 (uidx_sorted is
+            # the run-length cumsum the prep just built)
+            policy.observe(int(out["uidx_sorted"][-1]) + 1)
+            # trim the sentinel-padded unique buffer to the bucket: the
+            # step derives its static bucket from this length, so a
+            # regrow is just a shape change (automatic re-trace), and
+            # the host->device copy shrinks from N to bucket entries
+            if out["uq_ids"].shape[0] > policy.bucket:
+                out["uq_ids"] = out["uq_ids"][: policy.bucket]
+            return out
+
+        self._prep = prep
+
+    def _prep_supervised(self, raw):
+        """Prep with re-bucket-and-retry on overflow (thread-safe: the
+        pool may hit the same overflow concurrently from two workers)."""
+        while True:
+            try:
+                return self._prep(raw)
+            except BucketOverflow as e:
+                with self._lock:
+                    if e.n_unique > self.policy.bucket:  # not already grown
+                        new = self.policy.grow(e.n_unique)
+                        self._make_prep()
+                        if self.on_grow is not None:
+                            self.on_grow(new)
+
+    def __iter__(self):
+        prep = self._prep_supervised if self.policy is not None else self._prep
+        pool = HostPrepPool(self.source, prep, self.workers, self.depth)
+        if not self.device:
+            return iter(pool)
+        return iter(PrefetchToDevice(
+            pool, depth=self.prefetch_depth, sharding=self.sharding
+        ))

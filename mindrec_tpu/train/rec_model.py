@@ -63,7 +63,16 @@ class RecModel:
         seed: int = 0,
         jit: bool = True,
         donate: bool = True,
+        unique_bucket=None,
+        prep_workers: int = 1,
     ):
+        """``unique_bucket``: opt into the end-to-end host input
+        pipeline (``data/pipeline.py``): an int (or
+        :class:`~mindrec_tpu.data.pipeline.AdaptiveBucket`) bound on
+        distinct ids per batch.  ``train(dataset_sink_mode=True)`` then
+        treats the dataset as RAW host batches and runs prep-pool ->
+        device-prefetch -> step, re-jitting automatically if a batch
+        overflows the bucket.  ``prep_workers``: host prep threads."""
         self.model = model
         sens = float(getattr(model.config, "loss_scale", 1.0))
         self.opt_w = opt_w or optim_lib.ftrl(loss_scale=sens)
@@ -72,8 +81,23 @@ class RecModel:
         self.state: TrainState = init_train_state(
             model, jax.random.PRNGKey(seed), self.opt_w, self.opt_d
         )
+        self._jit = jit
+        self._donate = donate
+        self.bucket_policy = None
+        if unique_bucket is not None:
+            from mindrec_tpu.data.pipeline import AdaptiveBucket
+
+            self.bucket_policy = (
+                unique_bucket
+                if isinstance(unique_bucket, AdaptiveBucket)
+                else AdaptiveBucket(int(unique_bucket))
+            )
+        self.prep_workers = prep_workers
+        # with a bucket policy the step derives its static unique
+        # bucket from the pipeline's trimmed uq_ids length, so a bucket
+        # regrow is a shape change jit re-traces automatically
         self.train_step = make_train_step(
-            model, self.opt_w, self.opt_d, jit=jit, donate=donate
+            model, self.opt_w, self.opt_d, jit=jit, donate=donate,
         )
         self.eval_step = make_eval_step(model, jit=jit)
         self.rank_id = jax.process_index()
@@ -209,6 +233,20 @@ class RecModel:
             )
 
     def _maybe_sink(self, dataset, sink: bool) -> Iterable:
-        if sink and jax.default_backend() != "cpu":
+        if not sink:
+            return iter(dataset)
+        if self.bucket_policy is not None:
+            # end-to-end input pipeline: raw host batches -> prep pool
+            # -> device prefetch, with adaptive re-bucketing
+            from mindrec_tpu.data.pipeline import SparseInputPipeline
+
+            return iter(SparseInputPipeline(
+                dataset,
+                field_size=int(getattr(self.model.config, "field_size", 0)),
+                policy=self.bucket_policy,
+                workers=self.prep_workers,
+                device=jax.default_backend() != "cpu",
+            ))
+        if jax.default_backend() != "cpu":
             return PrefetchToDevice(dataset, depth=2)
         return iter(dataset)

@@ -280,11 +280,12 @@ def make_train_step(
     if use_pallas is None:
         # the streamed kernels target TPU; the generic gather/scatter path
         # is faster to compile (and fine) on CPU test meshes
-        use_pallas = jax.default_backend() not in ("cpu",) and not multi_group
-    if multi_group and use_pallas:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if multi_group and use_pallas and not row_layout:
         raise NotImplementedError(
-            "the streamed-kernel path currently handles single-id-group "
-            "models; pass use_pallas=False for multi-group models"
+            "the feature-major streamed path handles single-id-group "
+            "models; multi-group models stream via row_layout=True "
+            "(the default) or use_pallas=False"
         )
     if matmul_dtype is None:
         matmul_dtype = jnp.bfloat16
@@ -443,148 +444,225 @@ def make_train_step(
                 )
             return new_state, (loss_w, loss_d)
 
-        if use_pallas:
-            from mindrec_tpu.ops.pallas.stream_gather import streamed_gather
-
-            if "sorted_ids" in batch:
-                # host-precomputed sort (the input pipeline overlaps it
-                # with the previous device step)
-                sorted_ids = batch["sorted_ids"].reshape(-1)
-                perm = batch["perm"].reshape(-1)
-                inv = batch["inv"].reshape(-1)
+        def _sort_meta(g, ids_g):
+            """Per-id-group sort/unique metadata: host-precomputed
+            (``{g}:``-prefixed batch keys for named groups, bare keys
+            for the default group) or device-derived.  The input
+            pipeline overlaps the host path with the previous step.
+            sorted_ids/inv are optional: with the full unique metadata
+            present they are never read, and the minimal-prep pipeline
+            skips computing (and uploading) them entirely."""
+            flat_g = ids_g.reshape(-1)
+            ng = int(flat_g.shape[0])
+            pref = "" if g == "_default" else f"{g}:"
+            if pref + "perm" in batch:
+                perm_g = batch[pref + "perm"].reshape(-1)
+                sorted_g = (
+                    batch[pref + "sorted_ids"].reshape(-1)
+                    if pref + "sorted_ids" in batch else None
+                )
+                inv_g = (
+                    batch[pref + "inv"].reshape(-1)
+                    if pref + "inv" in batch else None
+                )
             else:
-                iota = jnp.arange(n_pos, dtype=jnp.int32)
-                sorted_ids, perm = jax.lax.sort_key_val(flat_ids, iota)
-                _, inv = jax.lax.sort_key_val(perm, iota)
-            if "uq_ids" in batch:
-                uq_ids = batch["uq_ids"].reshape(-1)
-                uidx_batch = batch["uidx"].reshape(-1)
-                if "uidx_sorted" in batch:
-                    uidx_sorted = batch["uidx_sorted"].reshape(-1)
+                iota = jnp.arange(ng, dtype=jnp.int32)
+                sorted_g, perm_g = jax.lax.sort_key_val(flat_g, iota)
+                _, inv_g = jax.lax.sort_key_val(perm_g, iota)
+            if pref + "uq_ids" in batch:
+                uq_g = batch[pref + "uq_ids"].reshape(-1)
+                uidx_b = batch[pref + "uidx"].reshape(-1)
+                if pref + "uidx_sorted" in batch:
+                    uidx_s = batch[pref + "uidx_sorted"].reshape(-1)
                 else:
+                    if sorted_g is None:
+                        raise ValueError(
+                            "batch has uq_ids but neither uidx_sorted "
+                            "nor sorted_ids to derive it from"
+                        )
                     newv = jnp.concatenate(
-                        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+                        [jnp.ones((1,), bool), sorted_g[1:] != sorted_g[:-1]]
                     )
-                    uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+                    uidx_s = jnp.cumsum(newv.astype(jnp.int32)) - 1
+                uq_len = int(uq_g.shape[0])
             else:
                 # unique-first (the reference's own sparse forward:
                 # Unique -> MapTensorGet, embedding.py:189-195): gather
                 # kernels then stream only the U distinct ids.  Padded
                 # to static [N] with a sentinel past every vocab.
+                if sorted_g is None or inv_g is None:
+                    raise ValueError(
+                        "batch prep must supply uq_ids/uidx/uidx_sorted "
+                        "when it omits sorted_ids/inv"
+                    )
                 newv = jnp.concatenate(
-                    [
-                        jnp.ones((1,), bool),
-                        sorted_ids[1:] != sorted_ids[:-1],
-                    ]
+                    [jnp.ones((1,), bool), sorted_g[1:] != sorted_g[:-1]]
                 )
-                uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
-                uq_ids = jnp.sort(
-                    jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2))
+                uidx_s = jnp.cumsum(newv.astype(jnp.int32)) - 1
+                uq_g = jnp.sort(
+                    jnp.where(newv, sorted_g, jnp.int32(2**31 - 2))
                 )
-                uidx_batch = uidx_sorted[inv]
-            if row_layout:
-                from mindrec_tpu.ops.pallas.stream_gather import (
-                    streamed_gather_rows,
-                )
+                uidx_b = uidx_s[inv_g]
+                uq_len = ng
+            return flat_g, perm_g, inv_g, sorted_g, uq_g, uidx_b, uidx_s, uq_len
 
-                # static unique bucket (lossless default: every position
-                # distinct), rounded so the segsum/update tiles divide it
-                ub = unique_bucket if unique_bucket is not None else n_pos
-                ub = (ub + 2047) // 2048 * 2048
-                if ub <= n_pos:
-                    uq_b = uq_ids[:ub]
+        def _bucket_of(g, uq_len):
+            """Static unique bucket for one group, rounded so the
+            segsum/update tiles divide it.  Priority: explicit
+            unique_bucket (int for a sole group, or {group: int}) >
+            the host-provided uq_ids length (the input pipeline trims
+            uq to its bucket, so a bucket regrow is just a shape
+            change — jit re-traces automatically) > lossless."""
+            if isinstance(unique_bucket, dict):
+                ubv = unique_bucket.get(g)
+            elif len(table_groups) == 1:
+                ubv = unique_bucket
+            else:
+                ubv = None
+            ub = ubv if ubv is not None else uq_len
+            return (int(ub) + 2047) // 2048 * 2048
+
+        if use_pallas and row_layout:
+            # row-major streamed path, generic over id groups: each
+            # group gets its own sorted stream / unique row buffer /
+            # order crossings / segment-sum; each table updates from
+            # its group's stream (the multitable model trains fully
+            # streamed — reference flagship config at
+            # wide_and_deep_multitable/src/wide_and_deep.py:271-349).
+            from mindrec_tpu.ops.pallas.stream_gather import (
+                streamed_gather_rows,
+            )
+            from mindrec_tpu.ops.pallas.stream_segsum import streamed_segsum
+
+            dpf_of = {
+                name: get_table(params, path).shape[0]
+                for name, (path, _) in table_specs.items()
+            }
+            gdata = {}
+            for g, info in table_groups.items():
+                ids_g = ids_by_group[g]
+                Bg, Fg = int(ids_g.shape[0]), int(ids_g.shape[1])
+                (flat_g, perm_g, _inv_g, _sorted_g, uq_g, uidx_b, uidx_s,
+                 uq_len) = _sort_meta(g, ids_g)
+                ub = _bucket_of(g, uq_len)
+                if ub <= uq_len:
+                    uq_b = uq_g[:ub]
                 else:
                     uq_b = jnp.concatenate([
-                        uq_ids,
-                        jnp.full((ub - n_pos,), jnp.int32(2**31 - 2)),
+                        uq_g,
+                        jnp.full((ub - uq_len,), jnp.int32(2**31 - 2)),
                     ])
-                # lane layout: each table's full sublane block side by side
+                # lane layout: the group's tables' full sublane blocks
+                # side by side in ONE row-major [ub, width] f32 buffer,
+                # so both order crossings run as 512-byte-row gathers
                 offs, off = {}, 0
-                for name, (path, spec) in table_specs.items():
+                for name in info["tables"]:
                     offs[name] = off
-                    off += get_table(params, path).shape[0]
+                    off += dpf_of[name]
                 width = max(128, -(-off // 128) * 128)
-                sub_uq = {}
-                uq_cols = {}
                 buf = jnp.zeros((ub, width), jnp.float32)
-                for name, (path, spec) in table_specs.items():
+                uq_cols_g, sub_uq_g = {}, {}
+                for name in info["tables"]:
+                    path, spec = table_specs[name]
                     table = get_table(params, path)
                     r = spec.fold
-                    uq_cols[name] = uq_b // r if r > 1 else uq_b
-                    sub_uq[name] = uq_b % r if r > 1 else None
+                    uq_cols_g[name] = uq_b // r if r > 1 else uq_b
+                    sub_uq_g[name] = uq_b % r if r > 1 else None
                     tl = _pick_tile(table.shape[1], dp=table.shape[0])
                     buf = streamed_gather_rows(
-                        table, uq_cols[name], buf, lane_offset=offs[name],
+                        table, uq_cols_g[name], buf, lane_offset=offs[name],
                         tile=tl, matmul_dtype=matmul_dtype,
                     )
+                gdata[g] = dict(
+                    buf=buf, flat=flat_g, perm=perm_g, uidx_batch=uidx_b,
+                    uidx_sorted=uidx_s, ub=ub, width=width, offs=offs,
+                    uq_cols=uq_cols_g, sub_uq=sub_uq_g,
+                    ng=Bg * Fg, Bg=Bg, Fg=Fg,
+                )
 
-                dpf_of = {
-                    name: get_table(params, path).shape[0]
-                    for name, (path, _) in table_specs.items()
-                }
-
-                def reorder_all_rows(buf, pos_delta):
-                    # ONE 512-byte-row f32 gather expands unique rows to
-                    # batch order; pos_delta is the differentiation point
-                    # (the expansion is stop_gradient'ed, so the backward
-                    # emits batch-order per-position grads directly)
+            def reorder_all_rows(pos_deltas):
+                # per group: ONE 512-byte-row f32 gather expands unique
+                # rows to batch order; pos_deltas[g] is the
+                # differentiation point (the expansion is
+                # stop_gradient'ed, so the backward emits batch-order
+                # per-position grads directly)
+                rows = {}
+                for g, info in table_groups.items():
+                    gd = gdata[g]
                     rows_pos = (
-                        jax.lax.stop_gradient(buf)[uidx_batch].astype(
-                            matmul_dtype
-                        )
-                        + pos_delta
-                    )  # [N, width]
-                    rows = {}
-                    for name, (path, spec) in table_specs.items():
-                        o = offs[name]
+                        jax.lax.stop_gradient(gd["buf"])[
+                            gd["uidx_batch"]
+                        ].astype(matmul_dtype)
+                        + pos_deltas[g]
+                    )  # [N_g, width]
+                    for name in info["tables"]:
+                        spec = table_specs[name][1]
+                        o = gd["offs"][name]
                         r = rows_pos[:, o : o + dpf_of[name]]
                         if spec.fold > 1:
-                            sub_pos = flat_ids % spec.fold
+                            sub_pos = gd["flat"] % spec.fold
                             r = r * _fold_mask_rows(
                                 dpf_of[name], spec.emb_dim, sub_pos, r.dtype
                             )
                         else:
                             r = r[:, : spec.emb_dim]  # drop sublane padding
-                        rows[name] = r.reshape(B, F, -1)
-                    return rows
+                        rows[name] = r.reshape(gd["Bg"], gd["Fg"], -1)
+                return rows
 
-                def loss_fn(params, pos_delta):
-                    rows = reorder_all_rows(buf, pos_delta)
-                    logits = call_rows(params, rows)
-                    loss_w, loss_d = model.loss(params, logits, batch["label"])
-                    return loss_d * sens, (loss_w, loss_d)
+            def loss_fn(params, pos_deltas):
+                rows = reorder_all_rows(pos_deltas)
+                logits = call_rows(params, rows)
+                loss_w, loss_d = model.loss(params, logits, batch["label"])
+                return loss_d * sens, (loss_w, loss_d)
 
-                pos_delta = jnp.zeros((n_pos, width), matmul_dtype)
-                (grads, g_delta), (loss_w, loss_d) = jax.grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
-                )(params, pos_delta)
-                # batch-order grads -> sorted order (the mirror 512B-row
-                # gather), then the row-major streamed segment-sum folds
-                # duplicates; no transpose on either side
-                from mindrec_tpu.ops.pallas.stream_segsum import (
-                    streamed_segsum,
-                )
-
-                g_sorted = g_delta[perm]  # [N, width]
+            pos_deltas = {
+                g: jnp.zeros((gd["ng"], gd["width"]), matmul_dtype)
+                for g, gd in gdata.items()
+            }
+            (grads, g_deltas), (loss_w, loss_d) = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, pos_deltas)
+            # per group: batch-order grads -> sorted order (the mirror
+            # 512B-row gather), then the row-major streamed segment-sum
+            # folds duplicates; no transpose on either side
+            col_grads, uq_cols, sub_uq = {}, {}, {}
+            for g, info in table_groups.items():
+                gd = gdata[g]
+                g_sorted = g_deltas[g][gd["perm"]]  # [N_g, width]
                 g_uq_all = streamed_segsum(
-                    g_sorted, uidx_sorted, row_major=True, n_out=ub,
-                    matmul_dtype=matmul_dtype,
+                    g_sorted, gd["uidx_sorted"], row_major=True,
+                    n_out=gd["ub"], matmul_dtype=matmul_dtype,
                 )  # [width, ub] f32
-                col_grads = {}
-                for name, (path, spec) in table_specs.items():
-                    o = offs[name]
-                    g = g_uq_all[o : o + dpf_of[name]]
+                for name in info["tables"]:
+                    spec = table_specs[name][1]
+                    o = gd["offs"][name]
+                    gcol = g_uq_all[o : o + dpf_of[name]]
                     if spec.fold > 1:
                         # defensive re-mask (grads are already masked by
                         # the forward's position fold mask)
-                        g = g * _fold_mask(
-                            dpf_of[name], spec.emb_dim, sub_uq[name], g.dtype
+                        gcol = gcol * _fold_mask(
+                            dpf_of[name], spec.emb_dim, gd["sub_uq"][name],
+                            gcol.dtype,
                         )
-                    col_grads[name] = g
-                return _finish_sparse(
-                    params, grads, col_grads, uq_cols, sub_uq, state,
-                    loss_w, loss_d, rng, g_delta,
-                )
+                    col_grads[name] = gcol
+                uq_cols.update(gd["uq_cols"])
+                sub_uq.update(gd["sub_uq"])
+            return _finish_sparse(
+                params, grads, col_grads, uq_cols, sub_uq, state,
+                loss_w, loss_d, rng, g_deltas,
+            )
+
+        if use_pallas:
+            # feature-major streamed path (row_layout=False):
+            # single-id-group only
+            from mindrec_tpu.ops.pallas.stream_gather import streamed_gather
+
+            (flat_ids, perm, inv, sorted_ids, uq_ids, uidx_batch,
+             uidx_sorted, _uq_len) = _sort_meta(
+                "_default" if "_default" in table_groups
+                else next(iter(table_groups)),
+                ids,
+            )
 
             rows_in = {}
             sub_uq = {}
@@ -769,29 +847,101 @@ def make_train_step(
     return step
 
 
-def make_batch_sort(field_size: int, unique_bucket: int | None = None):
+class BucketOverflow(RuntimeError):
+    """A batch's distinct-id count exceeded the step's static
+    ``unique_bucket``.  Carries ``n_unique`` so the input pipeline can
+    re-jit at a larger bucket instead of dying (see
+    ``data/pipeline.py``)."""
+
+    def __init__(self, n_unique: int, bucket: int):
+        super().__init__(
+            f"batch has {n_unique} distinct ids > unique_bucket "
+            f"{bucket}; raise the bucket or shrink the batch"
+        )
+        self.n_unique = n_unique
+        self.bucket = bucket
+
+
+def make_batch_sort(field_size: int, unique_bucket=None,
+                    native: bool | None = None, minimal: bool = False,
+                    groups: dict | None = None):
     """Host-side batch prep: attach ``sorted_ids``/``perm``/``inv`` so
     the jitted sparse step skips its device sorts (~4.7 ms at bs 16000).
     The input pipeline runs this on CPU, overlapped with the device step.
 
+    Backend: ``native/libmindrec_batchprep.so`` (stable LSD radix sort
+    with packed index payload, ~5 ms/batch at bs 16000x39 vs ~76 ms for
+    the numpy path) when built; the ctypes call releases the GIL so a
+    thread pool overlaps prep with the device step.  ``native=None``
+    auto-selects; ``False`` forces the numpy fallback (tests pin exact
+    native<->numpy parity).
+
     ``unique_bucket``: when the step was built with a static unique
     bucket, pass the same value here — a batch whose distinct-id count
     exceeds it would silently drop ids on device, so the host prep
-    raises instead (the same fail-loud contract as the cache adapter's
-    ``max_swap``)."""
+    raises :class:`BucketOverflow` instead (the same fail-loud contract
+    as the cache adapter's ``max_swap``; ``data/pipeline.py`` catches it
+    to re-jit at a larger bucket).
+
+    ``minimal=True`` (native only) omits ``sorted_ids``/``inv`` from the
+    output — the jitted step never reads them when the unique metadata
+    is present, and skipping them cuts both prep time and host->device
+    transfer (the pipeline's hot config).
+
+    ``groups``: a model's ``table_groups`` mapping (or any
+    ``{name: {"keys": (...)}}`` / ``{name: (keys...)}``) — prep runs per
+    id group over the concatenation of the group's batch keys and emits
+    ``{name}:``-prefixed metadata (bare keys for ``_default``), the
+    multi-group contract of the streamed step.  ``unique_bucket`` may
+    then be a ``{name: int}`` dict."""
     import numpy as np
 
-    def prep(batch: dict) -> dict:
-        ids = np.asarray(batch["ids"]).reshape(-1)
+    from mindrec_tpu.native import batchprep as _bp
+
+    use_native = _bp.available() if native is None else native
+
+    def group_items(batch):
+        if groups is None:
+            yield "", np.asarray(batch["ids"]).reshape(-1), unique_bucket
+            return
+        for g, info in groups.items():
+            keys = info["keys"] if isinstance(info, dict) else tuple(info)
+            parts = [np.asarray(batch[k]) for k in keys]
+            B = parts[0].shape[0]
+            ids_g = (
+                parts[0]
+                if len(parts) == 1
+                else np.concatenate([p.reshape(B, -1) for p in parts], axis=1)
+            )
+            pref = "" if g == "_default" else f"{g}:"
+            bucket_g = (
+                unique_bucket.get(g)
+                if isinstance(unique_bucket, dict) else unique_bucket
+            )
+            yield pref, np.asarray(ids_g).reshape(-1), bucket_g
+
+    def prep_one(out, pref, ids, bucket):
         n = ids.size
+        if use_native:
+            (sorted_ids, perm, inv, uq, uidx, uidx_sorted,
+             nu) = _bp.batch_prep(ids, uq_len=n, minimal=minimal)
+            if bucket is not None and nu > bucket:
+                raise BucketOverflow(nu, bucket)
+            if not minimal:
+                out[pref + "sorted_ids"] = sorted_ids
+                out[pref + "inv"] = inv
+            out[pref + "perm"] = perm
+            out[pref + "uq_ids"] = uq
+            out[pref + "uidx"] = uidx
+            out[pref + "uidx_sorted"] = uidx_sorted
+            return
         perm = np.argsort(ids, kind="stable").astype(np.int32)
         inv = np.empty_like(perm)
         inv[perm] = np.arange(n, dtype=np.int32)
         sorted_ids = ids[perm]
-        out = dict(batch)
-        out["sorted_ids"] = sorted_ids
-        out["perm"] = perm
-        out["inv"] = inv
+        out[pref + "sorted_ids"] = sorted_ids
+        out[pref + "perm"] = perm
+        out[pref + "inv"] = inv
         # unique-first forward metadata (reference Unique->MapTensorGet,
         # embedding.py:189-195): sentinel-padded unique ids + the
         # batch-order position -> unique-index map
@@ -801,15 +951,17 @@ def make_batch_sort(field_size: int, unique_bucket: int | None = None):
         uidx_sorted = np.cumsum(newv, dtype=np.int32) - 1
         uq = np.full(n, 2**31 - 2, np.int32)
         u = sorted_ids[newv]
-        if unique_bucket is not None and u.size > unique_bucket:
-            raise RuntimeError(
-                f"batch has {u.size} distinct ids > unique_bucket "
-                f"{unique_bucket}; raise the bucket or shrink the batch"
-            )
+        if bucket is not None and u.size > bucket:
+            raise BucketOverflow(int(u.size), bucket)
         uq[: u.size] = u
-        out["uq_ids"] = uq
-        out["uidx"] = uidx_sorted[inv]
-        out["uidx_sorted"] = uidx_sorted
+        out[pref + "uq_ids"] = uq
+        out[pref + "uidx"] = uidx_sorted[inv]
+        out[pref + "uidx_sorted"] = uidx_sorted
+
+    def prep(batch: dict) -> dict:
+        out = dict(batch)
+        for pref, ids_g, bucket_g in group_items(batch):
+            prep_one(out, pref, ids_g, bucket_g)
         return out
 
     return prep

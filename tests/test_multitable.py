@@ -223,3 +223,97 @@ def test_sparse_sharded_emb128_trains(mesh8):
         np.asarray(ref_state.params["deep"]["emb128"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_pallas_multigroup_matches_generic():
+    """The row-layout streamed (pallas) path now handles MULTI-GROUP
+    models: each id group gets its own sorted stream / unique buffer /
+    segment-sum, and every table updates from its group's stream.
+    Parity vs the generic gather/scatter sparse path (VERDICT r2 item
+    3; reference flagship config wide_and_deep_multitable/src/
+    wide_and_deep.py:271-349)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mindrec_tpu.ops.pallas import stream_update
+
+    cfg = dataclasses.replace(CFG, sparse=True)
+    stream_update.INTERPRET = True
+    try:
+        opts = lambda: (
+            optim.ftrl(learning_rate=5e-2, l1=5e-4, l2=5e-4,
+                       initial_accum=0.1, loss_scale=1.0),
+            optim.adam(learning_rate=1e-3, eps=1e-6, loss_scale=1.0),
+        )
+        model = MultiTableWideDeepModel(cfg)
+        ow, od = opts()
+        s_gen = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+        s_pal = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+        step_gen = make_train_step(model, ow, od, jit=True, donate=False,
+                                   use_pallas=False)
+        step_pal = make_train_step(
+            model, ow, od, jit=True, donate=False, use_pallas=True,
+            row_layout=True, matmul_dtype=jnp.float32,
+        )
+        for s in (7, 8):
+            b = _batch(CFG, seed=s)
+            s_gen, (lw_g, ld_g) = step_gen(s_gen, b)
+            s_pal, (lw_p, ld_p) = step_pal(s_pal, b)
+            np.testing.assert_allclose(float(ld_g), float(ld_p), rtol=1e-5)
+            np.testing.assert_allclose(float(lw_g), float(lw_p), rtol=1e-5)
+        for side, name in (("deep", "emb128"), ("deep", "emb64_single"),
+                           ("deep", "emb64_multi"), ("deep", "emb64_indicator"),
+                           ("wide", "emb128_w"), ("wide", "emb64_multi_w"),
+                           ("wide", "indicator_w")):
+            np.testing.assert_allclose(
+                np.asarray(s_pal.params[side][name]),
+                np.asarray(s_gen.params[side][name]),
+                rtol=2e-2, atol=1e-6, err_msg=f"{side}/{name} diverged",
+            )
+        np.testing.assert_allclose(
+            np.asarray(s_pal.opt_d["deep/emb64_multi"]["m"]),
+            np.asarray(s_gen.opt_d["deep/emb64_multi"]["m"]),
+            rtol=2e-2, atol=1e-6,
+        )
+    finally:
+        stream_update.INTERPRET = False
+
+
+def test_pallas_multigroup_host_prep_matches_device_meta():
+    """make_batch_sort(groups=model.table_groups) emits per-group
+    prefixed sort metadata; the streamed step consumes it and matches
+    the same step deriving the metadata on device."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mindrec_tpu.ops.pallas import stream_update
+    from mindrec_tpu.train.step import make_batch_sort
+
+    cfg = dataclasses.replace(CFG, sparse=True)
+    stream_update.INTERPRET = True
+    try:
+        ow = optim.ftrl(learning_rate=5e-2, l1=5e-4, l2=5e-4,
+                        initial_accum=0.1, loss_scale=1.0)
+        od = optim.adam(learning_rate=1e-3, eps=1e-6, loss_scale=1.0)
+        model = MultiTableWideDeepModel(cfg)
+        s_dev = init_train_state(model, jax.random.PRNGKey(1), ow, od)
+        s_hst = init_train_state(model, jax.random.PRNGKey(1), ow, od)
+        step = make_train_step(model, ow, od, jit=True, donate=False,
+                               use_pallas=True, row_layout=True,
+                               matmul_dtype=jnp.float32)
+        prep = make_batch_sort(0, groups=model.table_groups)
+        b = _batch(CFG, seed=11)
+        bp = prep(dict(b))
+        assert "multi:perm" in bp and "emb128:uq_ids" in bp
+        s_dev, (_, ld_d) = step(s_dev, b)
+        s_hst, (_, ld_h) = step(s_hst, bp)
+        np.testing.assert_allclose(float(ld_d), float(ld_h), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s_hst.params["deep"]["emb64_multi"]),
+            np.asarray(s_dev.params["deep"]["emb64_multi"]),
+            rtol=1e-5, atol=1e-7,
+        )
+    finally:
+        stream_update.INTERPRET = False

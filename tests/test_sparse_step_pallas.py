@@ -123,3 +123,47 @@ def test_pallas_layouts_match_generic(row_layout, bucket):
         np.asarray(s_gen.opt_w["wide/table"]["accum"]),
         rtol=2e-2, atol=1e-5,
     )
+
+
+def test_pallas_step_with_pipeline_prep_matches_generic():
+    """The input pipeline's hot config — native minimal prep (no
+    sorted_ids/inv) with the unique buffer TRIMMED to the bucket — must
+    drive the row-layout pallas step to the exact generic result, and a
+    mid-run bucket growth (longer uq_ids => shape-driven re-trace) must
+    not disturb parity."""
+    import jax.numpy as jnp
+
+    from mindrec_tpu.data.pipeline import AdaptiveBucket, SparseInputPipeline
+
+    model = WideDeepModel(CFG)
+    opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
+    key = jax.random.PRNGKey(2)
+    s_gen = init_train_state(model, key, opt_w, opt_d)
+    s_pal = init_train_state(model, key, opt_w, opt_d)
+    step_gen = make_train_step(model, opt_w, opt_d, jit=True, donate=False,
+                               use_pallas=False)
+    # unique_bucket=None: the trimmed uq_ids length drives the bucket
+    step_pal = make_train_step(
+        model, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+        matmul_dtype=jnp.float32, row_layout=True,
+    )
+    raw = [_batch(seed=20 + i) for i in range(3)]
+    pol = AdaptiveBucket(16, quantum=16, log=lambda *a, **k: None)
+    pipe = SparseInputPipeline(iter(raw), field_size=CFG.field_size,
+                               policy=pol, workers=1, device=False)
+    prepped = list(pipe)
+    assert pol.bucket > 16  # grew: batches have ~110 distinct ids
+    assert any(p["uq_ids"].shape[0] != prepped[0]["uq_ids"].shape[0]
+               or i == 0 for i, p in enumerate(prepped))
+    for b_raw, b_pal in zip(raw, prepped):
+        assert "sorted_ids" not in b_pal and "inv" not in b_pal
+        s_gen, (lw_g, ld_g) = step_gen(s_gen, b_raw)
+        s_pal, (lw_p, ld_p) = step_pal(s_pal, b_pal)
+        np.testing.assert_allclose(float(ld_g), float(ld_p), rtol=1e-5)
+    for tbl in ("deep", "wide"):
+        np.testing.assert_allclose(
+            np.asarray(s_pal.params[tbl]["table"]),
+            np.asarray(s_gen.params[tbl]["table"]),
+            rtol=2e-2, atol=1e-5, err_msg=f"{tbl} table diverged",
+        )
