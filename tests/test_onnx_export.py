@@ -1,0 +1,83 @@
+"""ONNX export parity: the emitted graphs compute exactly
+``model.predict`` (f32 serving precision) for wide_deep / deepfm / dcn
+(VERDICT r2 item 7; reference ``models/deepfm/export.py:40-48``).
+
+Validation runs the in-repo reference evaluator
+(``serving/onnx_ref.py``); when onnxruntime is installed the same file
+is additionally executed by the real runtime."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mindrec_tpu.io.onnx import export_onnx
+from mindrec_tpu.serving.onnx_ref import load_onnx, run_onnx
+
+
+def _make(kind):
+    if kind == "wide_deep":
+        from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+
+        cfg = WideDeepConfig(batch_size=8, field_size=5, vocab_size=300,
+                             emb_dim=8, deep_layer_dim=(16, 8),
+                             use_mixed_precision=False)
+        return WideDeepModel(cfg)
+    if kind == "deepfm":
+        from mindrec_tpu.models.deepfm import DeepFMConfig, DeepFMModel
+
+        cfg = DeepFMConfig(batch_size=8, field_size=5, vocab_size=300,
+                           emb_dim=8, deep_layer_dim=(16, 8),
+                           use_mixed_precision=False)
+        return DeepFMModel(cfg)
+    from mindrec_tpu.models.dcn import DCNConfig, DCNModel
+
+    cfg = DCNConfig(batch_size=8, field_size=5, vocab_size=300, emb_dim=8,
+                    cross_layer_num=3, deep_layer_dim=(16, 16),
+                    use_mixed_precision=False)
+    return DCNModel(cfg)
+
+
+@pytest.mark.parametrize("kind", ["wide_deep", "deepfm", "dcn"])
+def test_onnx_matches_predict(kind, tmp_path):
+    model = _make(kind)
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(0)
+    B, F = 8, model.config.field_size
+    ids = rng.integers(0, model.config.vocab_size, (B, F)).astype(np.int32)
+    wts = rng.uniform(0.5, 1.5, (B, F)).astype(np.float32)
+    want = np.asarray(model.predict(params, ids, wts))
+
+    p = export_onnx(tmp_path / f"{kind}.onnx", kind, model, params)
+    data = open(p, "rb").read()
+    m = load_onnx(data)
+    assert m["inputs"] == ["ids", "wts"] and m["outputs"] == ["prob"]
+    assert m["opset"] == 11
+    got = run_onnx(data, {"ids": ids, "wts": wts})["prob"]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # different batch size through the symbolic batch dim
+    ids2, wts2 = ids[:3], wts[:3]
+    got2 = run_onnx(data, {"ids": ids2, "wts": wts2})["prob"]
+    np.testing.assert_allclose(
+        got2, np.asarray(model.predict(params, ids2, wts2)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("kind", ["wide_deep", "deepfm", "dcn"])
+def test_onnx_under_onnxruntime(kind, tmp_path):
+    ort = pytest.importorskip("onnxruntime")
+    model = _make(kind)
+    params = model.init(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(1)
+    B, F = 6, model.config.field_size
+    ids = rng.integers(0, model.config.vocab_size, (B, F)).astype(np.int32)
+    wts = rng.uniform(0.5, 1.5, (B, F)).astype(np.float32)
+    p = export_onnx(tmp_path / f"{kind}.onnx", kind, model, params)
+    sess = ort.InferenceSession(p, providers=["CPUExecutionProvider"])
+    (got,) = sess.run(["prob"], {"ids": ids, "wts": wts})
+    np.testing.assert_allclose(
+        got, np.asarray(model.predict(params, ids, wts)),
+        rtol=1e-4, atol=1e-5,
+    )
