@@ -40,36 +40,25 @@ WD_BASELINE = 267_558.0  # 1x V100 (benchmarks/README.md:76-78)
 DFM_BASELINE = 16000 / 0.021  # 21 ms/step @ bs 16000 (deepfm README:427-433)
 
 
-def _device_prep(jnp, jax):
-    @jax.jit
-    def prep(ids):
-        n = ids.size
-        iota = jnp.arange(n, dtype=jnp.int32)
-        sorted_ids, perm = jax.lax.sort_key_val(ids.reshape(-1), iota)
-        _, inv = jax.lax.sort_key_val(perm, iota)
-        newv = jnp.concatenate(
-            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
-        )
-        uidx_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
-        uq = jnp.sort(jnp.where(newv, sorted_ids, jnp.int32(2**31 - 2)))
-        return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted
-
-    return prep
-
-
-def _stage_batches(jax, data, n, with_prep):
-    batches = [
-        {k: jax.device_put(v) for k, v in data.get_batch(s).items()}
-        for s in range(n)
-    ]
+def _stage_batches(jax, data, n, with_prep, field_size=39, bucket=None):
+    """Stage n batches on device.  with_prep: host-prep each batch with
+    the input pipeline's hot config (native radix sort, minimal output
+    set, uq trimmed to the bucket) — the staged step then shares ONE
+    compiled trace with the end-to-end pipeline extra."""
+    host = [data.get_batch(s) for s in range(n)]
     if with_prep:
-        import jax.numpy as jnp
+        from mindrec_tpu.train.step import make_batch_sort
 
-        prep = _device_prep(jnp, jax)
-        for b in batches:
-            (b["sorted_ids"], b["perm"], b["inv"], b["uq_ids"], b["uidx"],
-             b["uidx_sorted"]) = prep(b["ids"])
-        float(batches[-1]["inv"][0])  # fence
+        prep = make_batch_sort(field_size, minimal=True)
+        host = [prep(b) for b in host]
+        if bucket is not None:
+            for b in host:
+                b["uq_ids"] = b["uq_ids"][:bucket]
+    batches = [
+        {k: jax.device_put(v) for k, v in b.items()} for b in host
+    ]
+    fence = batches[-1]["perm" if with_prep else "ids"]
+    float(fence.reshape(-1)[0])  # transfer fence
     return batches
 
 
@@ -85,7 +74,7 @@ def _timed_loop(step, state, batches, warmup, steps, batch_size):
     return steps * batch_size / dt, state
 
 
-def bench_wide_deep(args, inline_prep=False):
+def bench_wide_deep(args, inline_prep=False, return_ctx=False):
     import jax
     import jax.numpy as jnp
 
@@ -116,22 +105,43 @@ def bench_wide_deep(args, inline_prep=False):
     )
     bucket = args.unique_bucket or None
     if not args.dense and bucket is None:
-        max_u = max(
-            np.unique(np.asarray(data.get_batch(s)["ids"])).size
-            for s in range(8)
-        )
-        bucket = int(max_u * 1.2)
+        bucket = _derive_bucket(data)
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
+    with_prep = not args.dense and not inline_prep
+    # staged host-prep batches carry a bucket-trimmed uq_ids whose
+    # LENGTH drives the step's static bucket (shape-driven) — the same
+    # trace the e2e pipeline extra hits; the inline variant derives its
+    # metadata on device and needs the explicit bucket
     step = make_train_step(
         model, opt_w, opt_d, jit=True, donate=True,
-        row_layout=args.row_layout, unique_bucket=bucket,
+        row_layout=args.row_layout,
+        unique_bucket=None if with_prep else bucket,
     )
     batches = _stage_batches(
-        jax, data, 8, with_prep=not args.dense and not inline_prep
+        jax, data, 8, with_prep=with_prep, field_size=cfg.field_size,
+        bucket=bucket,
     )
     sps, _ = _timed_loop(step, state, batches, args.warmup, args.steps,
                          cfg.batch_size)
+    if return_ctx:
+        # the e2e pipeline extra reuses this jitted step: its batches
+        # have identical pytree structure/shapes, so no second compile
+        return sps, {"model": model, "opt_w": opt_w, "opt_d": opt_d,
+                     "step": step, "bucket": bucket, "cfg": cfg}
     return sps
+
+
+def _derive_bucket(data, n=8):
+    """max distinct ids over n sample batches x1.2 headroom, rounded to
+    the kernel tile quantum — identical to AdaptiveBucket.from_sample
+    so the staged and e2e paths share one compiled trace."""
+    from mindrec_tpu.data.pipeline import round_bucket
+
+    max_u = max(
+        np.unique(np.asarray(data.get_batch(s)["ids"])).size
+        for s in range(n)
+    )
+    return round_bucket(int(max_u * 1.2))
 
 
 def bench_deepfm(args):
@@ -156,9 +166,9 @@ def bench_deepfm(args):
     data = SyntheticCriteo(cfg.batch_size, 39, cfg.vocab_size, steps=8,
                            seed=0, fields="criteo")
     state = init_train_state(model, jax.random.PRNGKey(0), opt(), opt())
-    step = make_train_step(model, opt(), opt(), jit=True, donate=True,
-                           unique_bucket=131_072)
-    batches = _stage_batches(jax, data, 8, with_prep=True)
+    step = make_train_step(model, opt(), opt(), jit=True, donate=True)
+    batches = _stage_batches(jax, data, 8, with_prep=True, field_size=39,
+                             bucket=131_072)
     sps, _ = _timed_loop(step, state, batches, args.warmup,
                          max(args.steps // 2, 20), cfg.batch_size)
     return sps
@@ -182,7 +192,7 @@ def bench_host_prep(args):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def bench_wide_deep_e2e(args):
+def bench_wide_deep_e2e(args, ctx=None):
     """END-TO-END pipeline throughput from RAW host batches: fresh
     numpy batches -> 1-worker native prep pool -> async device staging
     -> jitted step (``data/pipeline.py``; the reference's dataset-sink
@@ -202,24 +212,31 @@ def bench_wide_deep_e2e(args):
     from mindrec_tpu.train import optim
     from mindrec_tpu.train.step import init_train_state, make_train_step
 
-    cfg = WideDeepConfig(
-        batch_size=args.batch_size, field_size=args.field_size,
-        vocab_size=args.vocab_size, emb_dim=args.emb_dim,
-        deep_layer_dim=tuple([args.hidden] * args.layers),
-        use_mixed_precision=True, sparse=True, loss_scale=1024.0,
-    )
-    model = WideDeepModel(cfg)
-    opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
-    opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    if ctx is not None:
+        cfg, model = ctx["cfg"], ctx["model"]
+        opt_w, opt_d, step = ctx["opt_w"], ctx["opt_d"], ctx["step"]
+    else:
+        cfg = WideDeepConfig(
+            batch_size=args.batch_size, field_size=args.field_size,
+            vocab_size=args.vocab_size, emb_dim=args.emb_dim,
+            deep_layer_dim=tuple([args.hidden] * args.layers),
+            use_mixed_precision=True, sparse=True, loss_scale=1024.0,
+        )
+        model = WideDeepModel(cfg)
+        opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
+        opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
+        step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
     warmup, steps = 3, args.e2e_steps
     total = warmup + steps
     data = SyntheticCriteo(cfg.batch_size, cfg.field_size, cfg.vocab_size,
                            steps=total, seed=0, fields=args.fields)
-    policy = AdaptiveBucket.from_sample(
-        [data.get_batch(s) for s in range(4)], log=lambda *a, **k: None
+    # same derivation as the staged primary -> same trimmed-uq shape ->
+    # the e2e pipeline reuses the primary's compiled trace (shared step)
+    policy = AdaptiveBucket(
+        ctx["bucket"] if ctx is not None else _derive_bucket(data),
+        log=lambda *a, **k: None,
     )
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
-    step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
     pipe = SparseInputPipeline(
         (data.get_batch(s) for s in range(total)),
         field_size=cfg.field_size, policy=policy, workers=1, depth=3,
@@ -284,7 +301,7 @@ def main():
     # NB: jax.block_until_ready is a no-op through the axon tunnel
     # (async dispatch); fetching a scalar that depends on the last step
     # is the only reliable fence — _timed_loop fetches the loss.
-    wd_sps = bench_wide_deep(args)
+    wd_sps, wd_ctx = bench_wide_deep(args, return_ctx=True)
     extras = []
     if not args.skip_extras and not args.dense and args.table_dtype == "float32":
         # the bf16-table production recipe (quality-gated) as an extra
@@ -316,7 +333,7 @@ def main():
             "value": round(prep_ms, 2), "unit": "ms",
             "workers_to_overlap": int(np.ceil(prep_ms / step_ms)),
         })
-        e2e_sps = bench_wide_deep_e2e(args)
+        e2e_sps = bench_wide_deep_e2e(args, ctx=wd_ctx)
         extras.append({
             "metric": "wide_deep_e2e_pipeline_samples_per_sec_1chip",
             "value": round(e2e_sps, 1), "unit": "samples/s",

@@ -19,14 +19,27 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def produce(path: str, topic: str, partition: int, num_partitions: int,
-            bootstrap: str, rows_per_msg: int):
-    from kafka import KafkaProducer  # type: ignore
+def _make_producer(bootstrap: str):
+    """kafka-python when installed, else the in-repo wire client
+    (``mindrec_tpu/data/kafka_wire.py``) — same send/flush surface."""
+    try:
+        from kafka import KafkaProducer  # type: ignore
+    except ImportError:
+        from mindrec_tpu.data.kafka_wire import MiniKafkaProducer
 
-    producer = KafkaProducer(
+        return MiniKafkaProducer(
+            bootstrap_servers=bootstrap,
+            value_serializer=lambda v: json.dumps(v).encode(),
+        )
+    return KafkaProducer(
         bootstrap_servers=bootstrap,
         value_serializer=lambda v: json.dumps(v).encode(),
     )
+
+
+def produce(path: str, topic: str, partition: int, num_partitions: int,
+            bootstrap: str, rows_per_msg: int):
+    producer = _make_producer(bootstrap)
     buf = []
     with open(path, encoding="utf-8") as f:
         for i, line in enumerate(f):

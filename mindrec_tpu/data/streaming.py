@@ -219,12 +219,23 @@ def create_topic(topic: str, num_partitions: int = 2,
                  bootstrap_servers: str = "localhost:9092",
                  replication_factor: int = 1):
     """Create a Kafka topic (reference admin helper,
-    ``examples/online_learning/kafka_client.py:1-10``).  Gated on
-    kafka-python being installed."""
+    ``examples/online_learning/kafka_client.py:1-10``).  Uses
+    kafka-python when installed, else the in-repo wire-protocol client
+    (``data/kafka_wire.py``)."""
     try:
         from kafka.admin import KafkaAdminClient, NewTopic  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("kafka-python is required for create_topic") from e
+    except ImportError:
+        from mindrec_tpu.data.kafka_wire import MiniKafkaClient
+
+        client = MiniKafkaClient(bootstrap_servers)
+        try:
+            err = client.create_topic(topic, num_partitions,
+                                      replication_factor)
+            if err not in (0, 36):  # 36 = topic already exists
+                raise RuntimeError(f"create_topic error code {err}")
+        finally:
+            client.close()
+        return
     admin = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
     admin.create_topics(
         [NewTopic(name=topic, num_partitions=num_partitions,
@@ -235,21 +246,37 @@ def create_topic(topic: str, num_partitions: int = 2,
 
 class KafkaSource:
     """Kafka topic-partition reader (reference ``read_kafka.py:5-41``):
-    yields lists of messages, one list per ``count`` consumed.  Gated on
-    kafka-python being installed."""
+    yields lists of messages, one list per ``count`` consumed.  Uses
+    kafka-python when installed, else the in-repo wire-protocol client
+    (tested end-to-end against ``kafka_stub.StubKafkaBroker``).
 
-    def __init__(self, topic: str, partitions, bootstrap_servers="localhost:9092", count: int = 1000):
+    ``idle_timeout_ms``: stop iterating after that long with no new
+    records (None = consume forever, the reference behavior)."""
+
+    def __init__(self, topic: str, partitions,
+                 bootstrap_servers="localhost:9092", count: int = 1000,
+                 idle_timeout_ms: int | None = None):
         try:
             from kafka import KafkaConsumer, TopicPartition  # type: ignore
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "kafka-python is required for KafkaSource; install it or "
-                "use Channel/DataSender for in-process streaming"
-            ) from e
-        self._consumer = KafkaConsumer(bootstrap_servers=bootstrap_servers)
-        self._consumer.assign(
-            [TopicPartition(topic, p) for p in partitions]
-        )
+
+            self._consumer = KafkaConsumer(
+                bootstrap_servers=bootstrap_servers,
+                consumer_timeout_ms=(
+                    idle_timeout_ms if idle_timeout_ms is not None
+                    else float("inf")
+                ),
+            )
+            self._consumer.assign(
+                [TopicPartition(topic, p) for p in partitions]
+            )
+        except ImportError:
+            from mindrec_tpu.data.kafka_wire import MiniKafkaConsumer
+
+            self._consumer = MiniKafkaConsumer(
+                bootstrap_servers=bootstrap_servers,
+                consumer_timeout_ms=idle_timeout_ms,
+            )
+            self._consumer.assign([(topic, p) for p in partitions])
         self.count = count
 
     def __iter__(self):
@@ -259,6 +286,8 @@ class KafkaSource:
             if len(buf) >= self.count:
                 yield buf
                 buf = []
+        if buf:
+            yield buf
 
 
 def feed_channel_from_iterator(it, channel: Channel, num_shards: Optional[int] = None, daemon: bool = True) -> threading.Thread:
