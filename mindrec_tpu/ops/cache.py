@@ -158,7 +158,16 @@ def LruCache(capacity: int, prefer_native: bool = True):
         try:
             return NativeLruCache(capacity)
         except (FileNotFoundError, OSError):
-            pass
+            import warnings
+
+            warnings.warn(
+                "libmindrec_cache.so not found — falling back to the "
+                "per-id Python LRU (~1000x slower; fine for tests, "
+                "unusable for cache-mode training). Build it with "
+                "`make -C mindrec_tpu/native`.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return PyLruCache(capacity)
 
 
