@@ -59,21 +59,18 @@ def dma_gather(x, idx, tile: int = 2048):
     n = idx.shape[0]
     d = x.shape[1]
 
-    def kernel(idx_ref, x_hbm, o_ref):
+    def kernel(idx_ref, x_hbm, o_ref, sem):
         def body(i, _):
             cp = pltpu.make_async_copy(
-                x_hbm.at[idx_ref[i]], o_ref.at[i], None
+                x_hbm.at[pl.ds(idx_ref[i], 1), :],
+                o_ref.at[pl.ds(i, 1), :],
+                sem,
             )
             cp.start()
+            cp.wait()  # serialized issue+wait: prices one-at-a-time DMA
             return 0
 
         jax.lax.fori_loop(0, tile, body, 0)
-        # barrier: wait on the last row's copy (copies complete in
-        # issue order on one queue)
-        last = pltpu.make_async_copy(
-            x_hbm.at[idx_ref[tile - 1]], o_ref.at[tile - 1], None
-        )
-        last.wait()
 
     grid = n // tile
     return pl.pallas_call(
@@ -87,6 +84,7 @@ def dma_gather(x, idx, tile: int = 2048):
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
         ),
         out_shape=jax.ShapeDtypeStruct((n, d), x.dtype),
     )(idx, x)
@@ -115,6 +113,14 @@ def main():
             rng.integers(0, rows, size=N).astype(np.int32)
         )
         timeit(f"x[idx] [{rows}x128 f32] ({tag})", g, src, idx)
+
+    print("== H5: dtype crossings (cast fused into gather) ==", flush=True)
+    x32 = jnp.ones((N, 128), jnp.float32)
+    x16 = jnp.ones((N, 128), jnp.bfloat16)
+    g16 = jax.jit(lambda x, i: x[i].astype(jnp.bfloat16))
+    g32 = jax.jit(lambda x, i: x[i].astype(jnp.float32))
+    timeit("f32 src -> bf16 out (candidate)", g16, x32, perm)
+    timeit("bf16 src -> f32 out", g32, x16, perm)
 
     print("== H4: half rows, double width ==", flush=True)
     x2 = jnp.ones((N // 2, 256), jnp.bfloat16)
