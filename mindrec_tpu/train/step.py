@@ -154,9 +154,13 @@ def _expand_touch_jnp(touch, dp: int, dim: int, fold: int):
 def _permute_rows(x, fwd_idx, bwd_idx):
     """x[fwd_idx] with a gather (not scatter) backward: the two index
     vectors are inverse permutations, so ct[bwd_idx] == scatter(ct, fwd_idx).
-    XLA TPU's scatter serializes per row (~80 ms for a 624k-row batch);
-    this keeps both directions on the (also slow, but 8x less so) gather
-    path until the Pallas permute kernel lands."""
+    XLA TPU's scatter serializes per row (~80 ms for a 624k-row batch),
+    so both directions stay on the gather path.  The r3 experiment set
+    (benchmarks/permute_kernel.py, conclusions in
+    benchmarks/PROFILE_r03.md §3) established that XLA's gather unit is
+    within ~1.5x of the crossing's sector-granular speed of light and
+    that no Pallas formulation (per-row DMA, one-hot matmul, in-VMEM
+    scatter, field splitting) can beat it on this hardware."""
     return x[fwd_idx]
 
 
