@@ -296,6 +296,9 @@ def main():
                     "(each uploads ~11 MB through the dev tunnel)")
     ap.add_argument("--skip-extras", action="store_true",
                     help="primary wide_deep metric only")
+    ap.add_argument("--skip-multitable", action="store_true",
+                    help="skip the Outbrain multitable extra (~6 min: "
+                    "2x ~160 MB staged batches through the dev tunnel)")
     args = ap.parse_args()
 
     # NB: jax.block_until_ready is a no-op through the axon tunnel
@@ -342,6 +345,27 @@ def main():
                     "through this rig's ~60 MB/s host->device tunnel "
                     "(PROFILE_r03.md) — host prep sustains step rate "
                     "with 1 worker",
+        })
+    if not args.skip_extras and not args.dense and not args.skip_multitable:
+        # Outbrain multitable flagship on the multi-group streamed path
+        # (reference 131,072-batch config; generic path is 8.3x slower
+        # — PROFILE_r03.md §2)
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "bench_multitable",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "bench_multitable.py"),
+        )
+        mt = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mt)
+        mt_sps, mt_ms = mt.run(steps=8, staged=2, verbose=False)
+        extras.append({
+            "metric": "multitable_outbrain_train_samples_per_sec_1chip",
+            "value": round(mt_sps, 1), "unit": "samples/s",
+            "ms_per_step": round(mt_ms, 2), "batch_size": 131072,
+            "note": "multi-group streamed path; reference flagship "
+                    "config (no published throughput baseline)",
         })
     print(
         json.dumps(

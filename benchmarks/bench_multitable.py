@@ -42,16 +42,10 @@ def synth_batch(cfg, seed):
     return b
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=131072)
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--staged", type=int, default=2)
-    ap.add_argument("--generic", action="store_true",
-                    help="generic gather/scatter path instead of streamed")
-    args = ap.parse_args()
-
+def run(batch_size=131072, steps=10, warmup=3, staged=2, generic=False,
+        verbose=True):
+    """Stage `staged` synthetic Outbrain batches, time `steps` steps.
+    Returns (samples_per_sec, ms_per_step)."""
     import jax
 
     from mindrec_tpu.data.pipeline import round_bucket
@@ -66,19 +60,19 @@ def main():
         make_train_step,
     )
 
-    cfg = MultiTableConfig(batch_size=args.batch_size, sparse=True)
+    cfg = MultiTableConfig(batch_size=batch_size, sparse=True)
     model = MultiTableWideDeepModel(cfg)
     opt_w = optim.ftrl(learning_rate=cfg.ftrl_lr, l1=5e-4, l2=5e-4,
                        initial_accum=0.1, loss_scale=cfg.loss_scale)
     opt_d = optim.lazy_adam(learning_rate=cfg.adam_lr, eps=1e-6,
                             loss_scale=cfg.loss_scale)
-    use_pallas = None if not args.generic else False
+    use_pallas = None if not generic else False
     step = make_train_step(model, opt_w, opt_d, jit=True, donate=True,
                            use_pallas=use_pallas, row_layout=True)
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
 
-    host = [synth_batch(cfg, s) for s in range(args.staged)]
-    if not args.generic:
+    host = [synth_batch(cfg, s) for s in range(staged)]
+    if not generic:
         prep = make_batch_sort(0, groups=model.table_groups, minimal=True)
         host = [prep(b) for b in host]
         # trim each group's unique buffer to a shared bucket so all
@@ -89,28 +83,44 @@ def main():
             for b in host:
                 if b[f"{g}:uq_ids"].shape[0] > bucket:
                     b[f"{g}:uq_ids"] = b[f"{g}:uq_ids"][:bucket]
-    print("staging...", flush=True)
+    if verbose:
+        print("staging...", flush=True)
     batches = [{k: jax.device_put(v) for k, v in b.items()} for b in host]
     key0 = next(iter(batches[-1]))
     float(np.asarray(batches[-1][key0]).reshape(-1)[0])  # fence
-    print("compiling...", flush=True)
+    if verbose:
+        print("compiling...", flush=True)
     t0 = time.perf_counter()
-    for i in range(args.warmup):
+    for i in range(warmup):
         state, losses = step(state, batches[i % len(batches)])
     float(losses[1])
-    print(f"warmup done in {time.perf_counter()-t0:.0f}s", flush=True)
+    if verbose:
+        print(f"warmup done in {time.perf_counter()-t0:.0f}s", flush=True)
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    for i in range(steps):
         state, losses = step(state, batches[i % len(batches)])
     float(losses[1])
     dt = time.perf_counter() - t0
-    sps = args.steps * cfg.batch_size / dt
+    return steps * batch_size / dt, dt / steps * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=131072)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--staged", type=int, default=2)
+    ap.add_argument("--generic", action="store_true",
+                    help="generic gather/scatter path instead of streamed")
+    args = ap.parse_args()
+    sps, ms = run(args.batch_size, args.steps, args.warmup, args.staged,
+                  args.generic)
     print(json.dumps({
         "metric": "multitable_outbrain_train_samples_per_sec_1chip",
         "value": round(sps, 1), "unit": "samples/s",
         "path": "generic" if args.generic else "streamed",
-        "ms_per_step": round(dt / args.steps * 1e3, 2),
-        "batch_size": cfg.batch_size,
+        "ms_per_step": round(ms, 2),
+        "batch_size": args.batch_size,
     }))
 
 

@@ -181,7 +181,7 @@ class SparseInputPipeline:
     def __init__(self, source, field_size: int, policy=None,
                  workers: int = 1, depth: int = 3, device: bool = True,
                  sharding=None, minimal: bool = True, on_grow=None,
-                 prefetch_depth: int = 2):
+                 prefetch_depth: int = 2, groups: dict | None = None):
         self.source = source
         self.field_size = field_size
         self.policy = policy
@@ -192,13 +192,26 @@ class SparseInputPipeline:
         self.minimal = minimal
         self.on_grow = on_grow
         self.prefetch_depth = prefetch_depth
+        # multi-id-group models (a model's table_groups mapping): prep
+        # runs per group and emits prefixed metadata; the adaptive
+        # bucket policy is single-group only — multi-group preps run
+        # lossless (uq length = the group's position count, constant
+        # across batches, so the step's shape-driven bucket is stable)
+        self.groups = groups
+        if groups is not None and policy is not None:
+            raise ValueError(
+                "AdaptiveBucket policy is single-group; pass policy=None "
+                "with groups (per-group buckets can be passed to "
+                "make_batch_sort directly)"
+            )
         self._lock = threading.Lock()
         self._make_prep()
 
     def _make_prep(self):
         bucket = self.policy.bucket if self.policy is not None else None
         base = make_batch_sort(
-            self.field_size, unique_bucket=bucket, minimal=self.minimal
+            self.field_size, unique_bucket=bucket, minimal=self.minimal,
+            groups=self.groups,
         )
         policy = self.policy
 

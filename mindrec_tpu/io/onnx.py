@@ -293,6 +293,74 @@ def _build_dcn(g: GraphBuilder, model, params, ids, wts3, B, F):
     return g.op("Add", [g.op("MatMul", [h, fw]), fb])
 
 
+def _build_multitable(g: GraphBuilder, model, params):
+    """Outbrain multitable W&D predict (its own input signature:
+    continue_val + 3 single-hot id tensors + 6 multi-hot id/mask
+    pairs — reference 21-column construct,
+    ``wide_and_deep_multitable/src/wide_and_deep.py:271-349``)."""
+    from mindrec_tpu.models.multitable import MULTI_FIELDS
+
+    c = model.config
+    tables = _logical_tables(model, params)
+    cont = g.input("continue_val", FLOAT, ["B", c.continue_field_size])
+    ind = g.input("indicator_id", INT32, ["B", c.indicator_field_size])
+    e128_id = g.input("emb_128_id", INT32, ["B", c.emb128_field_size])
+    e64_id = g.input("emb_64_single_id", INT32,
+                     ["B", c.emb64_single_field_size])
+    multi = []
+    for name, L in zip(MULTI_FIELDS, c.multi_hot_sizes):
+        ids = g.input(f"multi_{name}_id", INT32, ["B", L])
+        mask = g.input(f"multi_{name}_mask", FLOAT, ["B", L])
+        multi.append((name, L, ids, mask))
+
+    def emb(table_key, ids, fields, dim):
+        t = g.init(table_key, tables[table_key])
+        rows = g.op("Gather", [t, ids], axis=0)  # [B, F, dim]
+        return g.op("Reshape", [rows, g.const(
+            np.array([-1, fields * dim], np.int64))])
+
+    # deep tower
+    parts = [cont,
+             emb("emb64_indicator", ind, c.indicator_field_size, 64),
+             emb("emb128", e128_id, c.emb128_field_size, 128),
+             emb("emb64_single", e64_id, c.emb64_single_field_size, 64)]
+    mt = g.init("emb64_multi", tables["emb64_multi"])
+    for name, L, ids, mask in multi:
+        rows = g.op("Gather", [mt, ids], axis=0)  # [B, L, 64]
+        masked = g.op("Mul", [rows, g.op("Unsqueeze", [mask], axes=[2])])
+        # reference semantics: mean over the FULL hot dim (divide by L)
+        parts.append(g.op("ReduceMean", [masked], axes=[1], keepdims=0))
+    deep_in = g.op("Concat", parts, axis=1)
+    mlp = params["deep"]["mlp"]
+    deep_out = _mlp_onnx(g, deep_in, mlp)
+
+    # wide tower
+    w = params["wide"]
+    cw = g.init("continue_w", np.asarray(w["continue_w"], np.float32))
+    val_w = g.op("ReduceSum", [g.op("Mul", [cont, cw])], axes=[1],
+                 keepdims=1)
+
+    def wide_sum(table_key, ids):
+        t = g.init(f"w_{table_key}", tables[table_key])
+        rows = g.op("Gather", [t, ids], axis=0)  # [B, F, 1]
+        s = g.op("ReduceSum", [rows], axes=[1, 2], keepdims=1)
+        return g.op("Reshape", [s, g.const(np.array([-1, 1], np.int64))])
+
+    acc = g.op("Add", [val_w, wide_sum("w_indicator", ind)])
+    acc = g.op("Add", [acc, wide_sum("w128", e128_id)])
+    acc = g.op("Add", [acc, wide_sum("w64_single", e64_id)])
+    wmt = g.init("w_emb64_multi", tables["w64_multi"])
+    for name, L, ids, mask in multi:
+        ws = g.op("Gather", [wmt, ids], axis=0)  # [B, L, 1]
+        wsm = g.op("Mul", [ws, g.op("Unsqueeze", [mask], axes=[2])])
+        s = g.op("ReduceSum", [wsm], axes=[1, 2], keepdims=1)
+        acc = g.op("Add", [acc, g.op(
+            "Reshape", [s, g.const(np.array([-1, 1], np.int64))])])
+    bias = g.init("wide_bias", np.asarray(w["bias"], np.float32))
+    wide_out = g.op("Add", [acc, bias])
+    return g.op("Add", [wide_out, deep_out])
+
+
 _BUILDERS = {
     "wide_deep": _build_wide_deep,
     "deepfm": _build_deepfm,
@@ -302,19 +370,24 @@ _BUILDERS = {
 
 def export_onnx(path: str | Path, model_kind: str, model, params) -> str:
     """Emit ``<path>`` as an ONNX model computing ``predict`` (serving
-    head: sigmoid of the logit) from ``ids [B,F] int32`` and
-    ``wts [B,F] f32``.  The batch dim is symbolic."""
-    if model_kind not in _BUILDERS:
-        raise ValueError(
-            f"onnx export supports {sorted(_BUILDERS)}, got {model_kind!r}"
-        )
-    c = model.config
-    F = int(c.field_size)
+    head: sigmoid of the logit).  Criteo models take ``ids [B,F] int32``
+    + ``wts [B,F] f32``; the multitable model takes its 21-column input
+    signature.  The batch dim is symbolic."""
     g = GraphBuilder(f"mindrec_{model_kind}")
-    ids = g.input("ids", INT32, ["B", F])
-    wts = g.input("wts", FLOAT, ["B", F])
-    wts3 = g.op("Unsqueeze", [wts], axes=[2])
-    logits = _BUILDERS[model_kind](g, model, params, ids, wts3, "B", F)
+    if model_kind == "multitable":
+        logits = _build_multitable(g, model, params)
+    elif model_kind in _BUILDERS:
+        c = model.config
+        F = int(c.field_size)
+        ids = g.input("ids", INT32, ["B", F])
+        wts = g.input("wts", FLOAT, ["B", F])
+        wts3 = g.op("Unsqueeze", [wts], axes=[2])
+        logits = _BUILDERS[model_kind](g, model, params, ids, wts3, "B", F)
+    else:
+        raise ValueError(
+            "onnx export supports "
+            f"{sorted(_BUILDERS) + ['multitable']}, got {model_kind!r}"
+        )
     g.nodes.append(node("Sigmoid", [logits], ["prob"]))
     g.output("prob", FLOAT, ["B", 1])
     data = g.model()

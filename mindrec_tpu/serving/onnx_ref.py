@@ -151,6 +151,9 @@ def _run_node(op: str, ins: list[np.ndarray], attrs: dict) -> np.ndarray:
     if op == "ReduceSum":
         return np.sum(ins[0], axis=tuple(attrs["axes"]),
                       keepdims=bool(attrs.get("keepdims", 1)))
+    if op == "ReduceMean":
+        return np.mean(ins[0], axis=tuple(attrs["axes"]),
+                       keepdims=bool(attrs.get("keepdims", 1)))
     if op == "Reshape":
         return ins[0].reshape([int(d) for d in ins[1]])
     if op == "Relu":

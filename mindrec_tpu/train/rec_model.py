@@ -65,6 +65,7 @@ class RecModel:
         donate: bool = True,
         unique_bucket=None,
         prep_workers: int = 1,
+        host_prep: bool | None = None,
     ):
         """``unique_bucket``: opt into the end-to-end host input
         pipeline (``data/pipeline.py``): an int (or
@@ -72,7 +73,10 @@ class RecModel:
         distinct ids per batch.  ``train(dataset_sink_mode=True)`` then
         treats the dataset as RAW host batches and runs prep-pool ->
         device-prefetch -> step, re-jitting automatically if a batch
-        overflows the bucket.  ``prep_workers``: host prep threads."""
+        overflows the bucket.  ``prep_workers``: host prep threads.
+        ``host_prep=True`` enables the pipeline without a bucket
+        (lossless prep; required form for multi-id-group models, whose
+        per-group metadata the prep emits automatically)."""
         self.model = model
         sens = float(getattr(model.config, "loss_scale", 1.0))
         self.opt_w = opt_w or optim_lib.ftrl(loss_scale=sens)
@@ -93,6 +97,9 @@ class RecModel:
                 else AdaptiveBucket(int(unique_bucket))
             )
         self.prep_workers = prep_workers
+        self.host_prep = (
+            host_prep if host_prep is not None else unique_bucket is not None
+        )
         # with a bucket policy the step derives its static unique
         # bucket from the pipeline's trimmed uq_ids length, so a bucket
         # regrow is a shape change jit re-traces automatically
@@ -235,15 +242,21 @@ class RecModel:
     def _maybe_sink(self, dataset, sink: bool) -> Iterable:
         if not sink:
             return iter(dataset)
-        if self.bucket_policy is not None:
+        if self.host_prep:
             # end-to-end input pipeline: raw host batches -> prep pool
-            # -> device prefetch, with adaptive re-bucketing
+            # -> device prefetch, with adaptive re-bucketing (single
+            # id group) or per-group lossless prep (multi-group models)
             from mindrec_tpu.data.pipeline import SparseInputPipeline
 
+            groups = getattr(self.model, "table_groups", None)
+            multi = groups is not None and (
+                len(groups) > 1 or "_default" not in groups
+            )
             return iter(SparseInputPipeline(
                 dataset,
                 field_size=int(getattr(self.model.config, "field_size", 0)),
-                policy=self.bucket_policy,
+                policy=None if multi else self.bucket_policy,
+                groups=groups if multi else None,
                 workers=self.prep_workers,
                 device=jax.default_backend() != "cpu",
             ))

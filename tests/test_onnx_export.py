@@ -81,3 +81,43 @@ def test_onnx_under_onnxruntime(kind, tmp_path):
         got, np.asarray(model.predict(params, ids, wts)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_onnx_multitable_matches_predict(tmp_path):
+    """4th zoo model: the multitable Outbrain W&D exports with its own
+    21-column signature and matches predict exactly."""
+    from mindrec_tpu.models.multitable import (
+        MULTI_FIELDS,
+        MultiTableConfig,
+        MultiTableWideDeepModel,
+    )
+
+    cfg = MultiTableConfig(
+        batch_size=8, continue_field_size=4, indicator_field_size=2,
+        emb128_field_size=1, emb64_single_field_size=2,
+        multi_hot_sizes=(2, 3, 2, 2, 2, 2), emb_128_size=100,
+        emb64_single_size=50, emb64_multi_size=60,
+        deep_layer_dim=(16, 8), use_mixed_precision=False,
+    )
+    model = MultiTableWideDeepModel(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(2)
+    B = 8
+    batch = {
+        "continue_val": rng.uniform(size=(B, 4)).astype(np.float32),
+        "indicator_id": rng.integers(0, 16, (B, 2)).astype(np.int32),
+        "emb_128_id": rng.integers(0, 100, (B, 1)).astype(np.int32),
+        "emb_64_single_id": rng.integers(0, 50, (B, 2)).astype(np.int32),
+    }
+    for name, L in zip(MULTI_FIELDS, cfg.multi_hot_sizes):
+        batch[f"multi_{name}_id"] = rng.integers(0, 60, (B, L)).astype(np.int32)
+        lens = rng.integers(1, L + 1, B)
+        batch[f"multi_{name}_mask"] = (
+            np.arange(L)[None, :] < lens[:, None]
+        ).astype(np.float32)
+    want = np.asarray(model.predict(params, batch))
+
+    p = export_onnx(tmp_path / "mt.onnx", "multitable", model, params)
+    data = open(p, "rb").read()
+    got = run_onnx(data, batch)["prob"]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -179,3 +179,45 @@ def test_recmodel_pipeline_sink():
     assert m.bucket_policy.bucket > 64  # regrew mid-run, no crash
     assert m.bucket_policy.max_seen > 64
     assert jax.default_backend() == "cpu"
+
+
+def test_recmodel_pipeline_multigroup():
+    """host_prep=True on a multi-id-group model: the sink pipeline runs
+    per-group lossless prep (prefixed metadata) and training completes."""
+    from mindrec_tpu.models.multitable import (
+        MultiTableConfig,
+        MultiTableWideDeepModel,
+    )
+    from mindrec_tpu.train.rec_model import RecModel
+
+    cfg = MultiTableConfig(
+        batch_size=16, continue_field_size=4, indicator_field_size=2,
+        emb128_field_size=1, emb64_single_field_size=2,
+        multi_hot_sizes=(2, 3, 2, 2, 2, 2), emb_128_size=100,
+        emb64_single_size=50, emb64_multi_size=60,
+        deep_layer_dim=(16, 8), use_mixed_precision=False,
+        loss_scale=1.0, sparse=True,
+    )
+    model = MultiTableWideDeepModel(cfg)
+    rng = np.random.default_rng(2)
+
+    def batch():
+        from mindrec_tpu.models.multitable import MULTI_FIELDS
+
+        B = cfg.batch_size
+        b = {
+            "continue_val": rng.uniform(size=(B, 4)).astype(np.float32),
+            "indicator_id": rng.integers(0, 16, (B, 2)).astype(np.int32),
+            "emb_128_id": rng.integers(0, 100, (B, 1)).astype(np.int32),
+            "emb_64_single_id": rng.integers(0, 50, (B, 2)).astype(np.int32),
+            "label": np.ones((B, 1), np.float32),
+        }
+        for name, L in zip(MULTI_FIELDS, cfg.multi_hot_sizes):
+            b[f"multi_{name}_id"] = rng.integers(0, 60, (B, L)).astype(np.int32)
+            b[f"multi_{name}_mask"] = np.ones((B, L), np.float32)
+        return b
+
+    m = RecModel(model, host_prep=True)
+    state = m.train(epoch=1, train_dataset=[batch() for _ in range(3)],
+                    dataset_sink_mode=True)
+    assert int(state.step) == 3
