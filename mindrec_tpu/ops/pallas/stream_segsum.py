@@ -96,6 +96,73 @@ def segsum_schedule(uidx_sorted, n_pad: int, width: int, chunk: int):
     return c.astype(jnp.int32), blk.astype(jnp.int32), flags, S
 
 
+def streamed_segsum_unsorted(
+    g: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    n_out: int,
+    *,
+    chunk: int = 1024,
+    matmul_dtype=jnp.bfloat16,
+    row_major: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Segment-sum over ARBITRARY-order segment ids, for small ranges:
+    ``n_out <= 2048`` so the whole [D, n_out] accumulator is one
+    resident output block and no monotonicity (hence no sort, no order
+    crossings) is needed — the one-hot window matmul per input chunk is
+    the same as :func:`streamed_segsum`'s, with window = everything.
+
+    This is the tiny-vocab fast path of the sparse step: groups whose
+    id space fits in one block (e.g. the Outbrain indicator table,
+    vocab 16) skip the sort machinery entirely; segment ids are the raw
+    ids.  Out-of-range ids contribute nothing (one-hot row matches
+    nothing).  Cost: N/chunk grid steps of one [n_out, chunk] compare +
+    one MXU matmul."""
+    assert n_out <= 2048, n_out
+    if row_major:
+        n, d = g.shape
+    else:
+        d, n = g.shape
+    pad = (-n) % chunk
+    if pad:
+        zpad = (
+            jnp.zeros((pad, d), g.dtype) if row_major
+            else jnp.zeros((d, pad), g.dtype)
+        )
+        g = jnp.concatenate([g, zpad], axis=0 if row_major else 1)
+        # -1 matches no one-hot row: padding contributes nothing
+        seg_ids = jnp.concatenate(
+            [seg_ids, jnp.full((pad,), -1, jnp.int32)]
+        )
+    nchunks = (n + pad) // chunk
+    chunk_of = jnp.arange(nchunks, dtype=jnp.int32)
+    blk_of = jnp.zeros((nchunks,), jnp.int32)
+    flags = jnp.full((nchunks,), 2, jnp.int32).at[0].set(3)  # new|compute
+    kernel = functools.partial(
+        _segsum_kernel, width=n_out, dtype=matmul_dtype, row_major=row_major
+    )
+    g_spec = (
+        pl.BlockSpec((chunk, d), lambda j, c, b, f: (c[j], 0))
+        if row_major
+        else pl.BlockSpec((d, chunk), lambda j, c, b, f: (0, c[j]))
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda j, c, b, f: (0, c[j])),
+            g_spec,
+        ],
+        out_specs=pl.BlockSpec((d, n_out), lambda j, c, b, f: (0, b[j])),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, n_out), jnp.float32),
+        interpret=interpret or su.INTERPRET,
+    )(chunk_of, blk_of, flags, seg_ids.reshape(1, -1), g)
+
+
 def streamed_segsum(
     g: jnp.ndarray,
     uidx_sorted: jnp.ndarray,

@@ -243,7 +243,8 @@ def make_train_step(
     check_overflow: bool = False,
     matmul_dtype=None,
     row_layout: bool = True,
-    unique_bucket: int | None = None,
+    unique_bucket=None,
+    tiny_vocab: int = 2048,
 ):
     """Build ``step(state, batch) -> (state, (loss_w, loss_d))``.
 
@@ -262,6 +263,13 @@ def make_train_step(
     shrink the unique buffer, the streamed gathers and the update
     streams — the caller guarantees the batch never exceeds it (same
     contract as the cache adapter's ``max_swap``).
+
+    ``tiny_vocab``: id groups whose whole id space fits this bound take
+    the sort-free path — segment ids are the raw ids and the backward
+    runs one unsorted streamed segment-sum
+    (``streamed_segsum_unsorted``), skipping the host/device sort and
+    BOTH order crossings (the Outbrain indicator group, vocab 16, saves
+    ~10 ms/step of row-rate-bound gathers at bs 131,072).
     """
     cfg = model.config
     if sparse is None:
@@ -418,9 +426,15 @@ def make_train_step(
             )
 
         def _finish_sparse(params, grads, col_grads, uq_cols, sub_uq, state,
-                           loss_w, loss_d, rng, gcheck):
+                           loss_w, loss_d, rng, gcheck, touch_mask=None):
             """Shared pallas-path tail: dense updates + per-table streamed
-            column-sparse optimizer updates + overflow guard."""
+            column-sparse optimizer updates + overflow guard.
+
+            ``touch_mask``: optional {table: [1, ub] 0/1} — zeroes the
+            touch-indicator rows of uniques NOT present in the batch
+            (the tiny-vocab path enumerates the whole id space as its
+            unique set, and lazy-optimizer semantics require absent
+            rows to stay untouched)."""
             params2, opt_w_state, opt_d_state = apply_updates(
                 params, grads, state.opt_w, state.opt_d,
                 skip_keys=set(table_keys),
@@ -430,6 +444,10 @@ def make_train_step(
                 opt = opt_w if is_wide_key(key) else opt_d
                 opt_state = opt_w_state if is_wide_key(key) else opt_d_state
                 g_aug = make_aug_grads(col_grads[name], sub_uq[name])
+                if touch_mask is not None and name in touch_mask:
+                    g_aug = jnp.concatenate(
+                        [g_aug[:-8], g_aug[-8:] * touch_mask[name]]
+                    )
                 new_table, new_sub = _streamed_table_update(
                     opt, g_aug, uq_cols[name], opt_state[key], table, spec,
                     matmul_dtype=matmul_dtype,
@@ -546,16 +564,32 @@ def make_train_step(
             for g, info in table_groups.items():
                 ids_g = ids_by_group[g]
                 Bg, Fg = int(ids_g.shape[0]), int(ids_g.shape[1])
-                (flat_g, perm_g, _inv_g, _sorted_g, uq_g, uidx_b, uidx_s,
-                 uq_len) = _sort_meta(g, ids_g)
-                ub = _bucket_of(g, uq_len)
-                if ub <= uq_len:
-                    uq_b = uq_g[:ub]
+                # tiny id space: the whole vocabulary is the "unique"
+                # set — no sort, no order crossings; the backward is
+                # one unsorted streamed segment-sum over raw ids
+                id_bound = max(
+                    table_specs[name][1].vocab_size + 9
+                    for name in info["tables"]
+                )
+                id_bound = (id_bound + 2047) // 2048 * 2048
+                tiny = id_bound <= tiny_vocab
+                if tiny:
+                    flat_g = ids_g.reshape(-1)
+                    perm_g = uidx_s = None
+                    ub = id_bound
+                    uq_b = jnp.arange(ub, dtype=jnp.int32)
+                    uidx_b = flat_g
                 else:
-                    uq_b = jnp.concatenate([
-                        uq_g,
-                        jnp.full((ub - uq_len,), jnp.int32(2**31 - 2)),
-                    ])
+                    (flat_g, perm_g, _inv_g, _sorted_g, uq_g, uidx_b,
+                     uidx_s, uq_len) = _sort_meta(g, ids_g)
+                    ub = _bucket_of(g, uq_len)
+                    if ub <= uq_len:
+                        uq_b = uq_g[:ub]
+                    else:
+                        uq_b = jnp.concatenate([
+                            uq_g,
+                            jnp.full((ub - uq_len,), jnp.int32(2**31 - 2)),
+                        ])
                 # lane layout: the group's tables' full sublane blocks
                 # side by side in ONE row-major [ub, width] f32 buffer,
                 # so both order crossings run as 512-byte-row gathers
@@ -581,7 +615,7 @@ def make_train_step(
                     buf=buf, flat=flat_g, perm=perm_g, uidx_batch=uidx_b,
                     uidx_sorted=uidx_s, ub=ub, width=width, offs=offs,
                     uq_cols=uq_cols_g, sub_uq=sub_uq_g,
-                    ng=Bg * Fg, Bg=Bg, Fg=Fg,
+                    ng=Bg * Fg, Bg=Bg, Fg=Fg, tiny=tiny,
                 )
 
             def reorder_all_rows(pos_deltas):
@@ -630,13 +664,34 @@ def make_train_step(
             # 512B-row gather), then the row-major streamed segment-sum
             # folds duplicates; no transpose on either side
             col_grads, uq_cols, sub_uq = {}, {}, {}
+            touch_mask = {}
             for g, info in table_groups.items():
                 gd = gdata[g]
-                g_sorted = g_deltas[g][gd["perm"]]  # [N_g, width]
-                g_uq_all = streamed_segsum(
-                    g_sorted, gd["uidx_sorted"], row_major=True,
-                    n_out=gd["ub"], matmul_dtype=matmul_dtype,
-                )  # [width, ub] f32
+                if gd["tiny"]:
+                    # no crossing: reduce batch-order grads by raw id
+                    from mindrec_tpu.ops.pallas.stream_segsum import (
+                        streamed_segsum_unsorted,
+                    )
+
+                    g_uq_all = streamed_segsum_unsorted(
+                        g_deltas[g], gd["flat"], gd["ub"],
+                        matmul_dtype=matmul_dtype,
+                    )  # [width, ub] f32
+                    # presence per id: lazy optimizers must skip ids
+                    # absent from the batch even with zero gradients
+                    counts = streamed_segsum_unsorted(
+                        jnp.ones((gd["ng"], 8), matmul_dtype),
+                        gd["flat"], gd["ub"], matmul_dtype=matmul_dtype,
+                    )
+                    present = (counts[0:1] > 0).astype(jnp.float32)
+                    for name in info["tables"]:
+                        touch_mask[name] = present
+                else:
+                    g_sorted = g_deltas[g][gd["perm"]]  # [N_g, width]
+                    g_uq_all = streamed_segsum(
+                        g_sorted, gd["uidx_sorted"], row_major=True,
+                        n_out=gd["ub"], matmul_dtype=matmul_dtype,
+                    )  # [width, ub] f32
                 for name in info["tables"]:
                     spec = table_specs[name][1]
                     o = gd["offs"][name]
@@ -654,6 +709,7 @@ def make_train_step(
             return _finish_sparse(
                 params, grads, col_grads, uq_cols, sub_uq, state,
                 loss_w, loss_d, rng, g_deltas,
+                touch_mask=touch_mask or None,
             )
 
         if use_pallas:
