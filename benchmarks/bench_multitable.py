@@ -73,11 +73,14 @@ def run(batch_size=131072, steps=10, warmup=3, staged=2, generic=False,
 
     host = [synth_batch(cfg, s) for s in range(staged)]
     if not generic:
-        prep = make_batch_sort(0, groups=model.table_groups, minimal=True)
+        from mindrec_tpu.train.step import prep_groups
+
+        groups = prep_groups(model)  # tiny groups (indicator) skip sort
+        prep = make_batch_sort(0, groups=groups, minimal=True)
         host = [prep(b) for b in host]
         # trim each group's unique buffer to a shared bucket so all
         # staged batches hit one compiled trace (shape-driven ub)
-        for g in model.table_groups:
+        for g in groups:
             nu = max(int(b[f"{g}:uidx_sorted"][-1]) + 1 for b in host)
             bucket = round_bucket(int(nu * 1.2))
             for b in host:

@@ -247,16 +247,14 @@ class RecModel:
             # -> device prefetch, with adaptive re-bucketing (single
             # id group) or per-group lossless prep (multi-group models)
             from mindrec_tpu.data.pipeline import SparseInputPipeline
+            from mindrec_tpu.train.step import prep_groups
 
-            groups = getattr(self.model, "table_groups", None)
-            multi = groups is not None and (
-                len(groups) > 1 or "_default" not in groups
-            )
+            groups = prep_groups(self.model)  # tiny groups need no sort
             return iter(SparseInputPipeline(
                 dataset,
                 field_size=int(getattr(self.model.config, "field_size", 0)),
-                policy=None if multi else self.bucket_policy,
-                groups=groups if multi else None,
+                policy=None if groups is not None else self.bucket_policy,
+                groups=groups,
                 workers=self.prep_workers,
                 device=jax.default_backend() != "cpu",
             ))

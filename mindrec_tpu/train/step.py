@@ -907,6 +907,25 @@ def make_train_step(
     return step
 
 
+def prep_groups(model, tiny_vocab: int = 2048) -> dict | None:
+    """The id groups host prep should SORT for a model: its
+    ``table_groups`` minus tiny-vocab groups, whose sort metadata the
+    step's sort-free path (``make_train_step(tiny_vocab=...)``) never
+    reads.  Returns None for single-group models (prep uses the bare
+    ``ids`` contract), possibly-empty dict otherwise."""
+    groups = getattr(model, "table_groups", None)
+    if groups is None or ("_default" in groups and len(groups) == 1):
+        return None
+    specs = model.table_specs
+    out = {}
+    for g, info in groups.items():
+        bound = max(specs[n][1].vocab_size + 9 for n in info["tables"])
+        if (bound + 2047) // 2048 * 2048 <= tiny_vocab:
+            continue
+        out[g] = info
+    return out
+
+
 class BucketOverflow(RuntimeError):
     """A batch's distinct-id count exceeded the step's static
     ``unique_bucket``.  Carries ``n_unique`` so the input pipeline can
