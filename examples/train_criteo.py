@@ -45,6 +45,13 @@ def main():
                     "continue (the recovery half of the elastic story: "
                     "run under examples/run_elastic_train.sh and a crashed "
                     "trainer restarts from its last save)")
+    ap.add_argument("--unique_bucket", type=int, default=0,
+                    help="enable the async host input pipeline "
+                    "(data/pipeline.py: native prep pool -> device "
+                    "prefetch, adaptive regrow) with this distinct-ids "
+                    "bound; 0 = off.  Plain sparse regime only — the "
+                    "cache/host-target/dynamic adapters translate ids "
+                    "after prep would run")
     args, rest = ap.parse_known_args()
 
     import os
@@ -122,7 +129,18 @@ def main():
         opt_w = optim.ftrl()
         opt_d = optim.adam(learning_rate=mcfg.learning_rate, loss_scale=mcfg.loss_scale)
 
-    rm = RecModel(model, opt_w, opt_d)
+    if args.unique_bucket and (
+        getattr(cfg, "vocab_cache_size", 0)
+        or getattr(cfg, "parameter_server", False)
+        or getattr(cfg, "dynamic_embedding", False)
+    ):
+        raise SystemExit(
+            "--unique_bucket (host input pipeline) is incompatible with "
+            "the cache/host-target/dynamic regimes: their adapters "
+            "translate ids AFTER prep would have sorted the raw ids"
+        )
+    rm = RecModel(model, opt_w, opt_d,
+                  unique_bucket=args.unique_bucket or None)
     if mesh is not None:
         rm.state = shard_train_state(rm.state, model, mesh)
 
