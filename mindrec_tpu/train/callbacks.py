@@ -242,3 +242,72 @@ class FaultInjector(Callback):
         raise RuntimeError(
             f"FaultInjector: simulated crash at step {ctx.cur_step_num}"
         )
+
+
+class ExportCallback(Callback):
+    """Periodically export the SERVING artifact during (online)
+    training — the reference's minute-level model-update loop ends in
+    an inference service reloading the freshest model
+    (``docs/online_learning/online_learning.md``; ckpt every 100 steps,
+    ``examples/online_learning/online_train.py:81-82``).  Checkpoints
+    carry optimizer state for RESUME; this exports the inference-only
+    artifact (MREC1 + .npz sidecar, and optionally ONNX) the serving
+    side loads.
+
+    Writes ``<dir>/<prefix>-<global_step>.mrec`` (+ ``.onnx``) every
+    ``export_steps`` steps, keeps the newest ``keep_max``, and
+    maintains a ``<prefix>-latest`` symlink for pollers."""
+
+    def __init__(self, directory: str, model_kind: str,
+                 export_steps: int = 100, prefix: str = "model",
+                 keep_max: int = 5, onnx_model=None):
+        """``onnx_model``: pass the model object to ALSO emit ONNX
+        (needs the model for its table specs/config)."""
+        from pathlib import Path as _P
+
+        self.directory = _P(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.model_kind = model_kind
+        self.export_steps = export_steps
+        self.prefix = prefix
+        self.keep_max = keep_max
+        self.onnx_model = onnx_model
+        self.exported: list[str] = []
+
+    def on_train_step_end(self, ctx: RunContext):
+        if ctx.cur_step_num % self.export_steps != 0:
+            return
+        import os
+
+        from mindrec_tpu.io.export import export_model
+
+        try:
+            gstep = int(ctx.train_state.step)
+        except (AttributeError, TypeError):
+            gstep = ctx.cur_step_num
+        params = ctx.train_state.params
+        path = self.directory / f"{self.prefix}-{gstep:010d}.mrec"
+        export_model(path, self.model_kind, params)
+        if self.onnx_model is not None:
+            from mindrec_tpu.io.onnx import export_onnx
+
+            export_onnx(path.with_suffix(".onnx"), self.model_kind,
+                        self.onnx_model, params)
+        self.exported.append(str(path))
+        # atomic latest pointer for serving-side pollers
+        link = self.directory / f"{self.prefix}-latest"
+        tmp = self.directory / f".{self.prefix}-latest.tmp"
+        try:
+            if tmp.exists() or tmp.is_symlink():
+                tmp.unlink()
+            tmp.symlink_to(path.name)
+            os.replace(tmp, link)
+        except OSError:
+            pass  # filesystems without symlinks: pollers sort by name
+        while len(self.exported) > self.keep_max:
+            old = self.exported.pop(0)
+            for suffix in ("", ".npz", ".onnx"):
+                try:
+                    os.unlink(old + suffix if suffix else old)
+                except OSError:
+                    pass
