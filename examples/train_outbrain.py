@@ -39,16 +39,24 @@ def main():
     ap.add_argument("--mesh_model", type=int, default=1)
     ap.add_argument("--loss_file_name", default="loss_outbrain.log")
     ap.add_argument("--eval_file_name", default="eval_outbrain.log")
+    ap.add_argument("--host_prep", type=lambda s: s.lower() == "true",
+                    default=False,
+                    help="run the async host input pipeline (per-group "
+                    "native prep pool -> device prefetch; tiny-vocab "
+                    "groups skip sorting)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the TPU-plugin "
                     "sitecustomize pre-imports jax, so the JAX_PLATFORMS "
                     "env var alone is too late")
     args = ap.parse_args()
 
+    import os
+
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    platform = args.platform or os.environ.get("MINDREC_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     from mindrec_tpu import RecModel
     from mindrec_tpu.data.outbrain import OutbrainTFRecordDataset, SyntheticOutbrain
@@ -86,6 +94,7 @@ def main():
     rm = RecModel(
         model, opt_w, opt_d,
         metrics={"auc": AUCMetric(), "map12": GroupedMapMetric(k=12)},
+        host_prep=args.host_prep,
     )
     if mesh is not None:
         rm.state = shard_train_state(rm.state, model, mesh)
