@@ -132,16 +132,14 @@ def bench_wide_deep(args, inline_prep=False, return_ctx=False):
 
 
 def _derive_bucket(data, n=8):
-    """max distinct ids over n sample batches x1.2 headroom, rounded to
-    the kernel tile quantum — identical to AdaptiveBucket.from_sample
-    so the staged and e2e paths share one compiled trace."""
-    from mindrec_tpu.data.pipeline import round_bucket
+    """AdaptiveBucket.from_sample over n sample batches — ONE
+    derivation for the staged and e2e paths so they share a compiled
+    trace."""
+    from mindrec_tpu.data.pipeline import AdaptiveBucket
 
-    max_u = max(
-        np.unique(np.asarray(data.get_batch(s)["ids"])).size
-        for s in range(n)
-    )
-    return round_bucket(int(max_u * 1.2))
+    return AdaptiveBucket.from_sample(
+        [data.get_batch(s) for s in range(n)], log=lambda *a, **k: None
+    ).bucket
 
 
 def bench_deepfm(args):

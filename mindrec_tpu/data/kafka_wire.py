@@ -302,14 +302,19 @@ class _Record:
 class MiniKafkaConsumer:
     """kafka-python-shaped consumer (assign + iterate) over
     :class:`MiniKafkaClient`.  ``consumer_timeout_ms`` stops iteration
-    after that long with no new records (kafka-python semantics)."""
+    after that long with no new records; ``auto_offset_reset`` matches
+    kafka-python's default "latest" (start at the log end, consume new
+    records only) so the fallback does not silently re-train on a
+    topic's whole retained history — pass "earliest" to replay."""
 
     def __init__(self, bootstrap_servers="localhost:9092",
-                 consumer_timeout_ms: int | None = None):
+                 consumer_timeout_ms: int | None = None,
+                 auto_offset_reset: str = "latest"):
         self._client = MiniKafkaClient(bootstrap_servers)
         self._assign: list[tuple[str, int]] = []
         self._offsets: dict[tuple[str, int], int] = {}
         self._timeout_ms = consumer_timeout_ms
+        self._reset = auto_offset_reset
 
     def assign(self, partitions):
         """partitions: iterable of (topic, partition) pairs or objects
@@ -320,7 +325,14 @@ class MiniKafkaConsumer:
             else:
                 t, p = tp.topic, tp.partition
             self._assign.append((t, p))
-            self._offsets.setdefault((t, p), 0)
+            if (t, p) not in self._offsets:
+                if self._reset == "earliest":
+                    self._offsets[(t, p)] = 0
+                else:
+                    # current log end = the fetch response's highwater
+                    hw, _ = self._client.fetch(t, p, 0, max_bytes=0,
+                                               max_wait_ms=0)
+                    self._offsets[(t, p)] = hw
 
     def __iter__(self):
         import time

@@ -251,16 +251,20 @@ class KafkaSource:
     (tested end-to-end against ``kafka_stub.StubKafkaBroker``).
 
     ``idle_timeout_ms``: stop iterating after that long with no new
-    records (None = consume forever, the reference behavior)."""
+    records (None = consume forever, the reference behavior).
+    ``auto_offset_reset``: "latest" (default, consume new records only
+    — both backends) or "earliest" (replay the retained log)."""
 
     def __init__(self, topic: str, partitions,
                  bootstrap_servers="localhost:9092", count: int = 1000,
-                 idle_timeout_ms: int | None = None):
+                 idle_timeout_ms: int | None = None,
+                 auto_offset_reset: str = "latest"):
         try:
             from kafka import KafkaConsumer, TopicPartition  # type: ignore
 
             self._consumer = KafkaConsumer(
                 bootstrap_servers=bootstrap_servers,
+                auto_offset_reset=auto_offset_reset,
                 consumer_timeout_ms=(
                     idle_timeout_ms if idle_timeout_ms is not None
                     else float("inf")
@@ -269,12 +273,15 @@ class KafkaSource:
             self._consumer.assign(
                 [TopicPartition(topic, p) for p in partitions]
             )
+            if auto_offset_reset == "earliest":
+                self._consumer.seek_to_beginning()
         except ImportError:
             from mindrec_tpu.data.kafka_wire import MiniKafkaConsumer
 
             self._consumer = MiniKafkaConsumer(
                 bootstrap_servers=bootstrap_servers,
                 consumer_timeout_ms=idle_timeout_ms,
+                auto_offset_reset=auto_offset_reset,
             )
             self._consumer.assign([(topic, p) for p in partitions])
         self.count = count

@@ -40,11 +40,15 @@ def _flatten(tree):
 
 
 def _host_copy(x) -> np.ndarray:
-    """Host snapshot that OWNS its memory.  ``np.asarray`` on a plain
-    ndarray is a view, and on the CPU backend it can also be a
-    zero-copy view of a jax.Array's device buffer — which a donating
-    train step overwrites while the async writer is still serializing.
-    Copy unless numpy proves the result owns its buffer."""
+    """Host snapshot that OWNS a PRIVATE buffer.  Two aliasing hazards:
+    a plain ndarray leaf is the caller's live array (mutated on the
+    next step while the async writer serializes), and on the CPU
+    backend ``np.asarray`` of a jax.Array can be a zero-copy view of a
+    device buffer a donating step overwrites.  So: plain ndarrays copy
+    unconditionally; converted arrays copy unless numpy proves the
+    conversion produced a fresh owning buffer."""
+    if isinstance(x, np.ndarray):
+        return x.copy()
     out = np.asarray(x)
     if out.base is None and out.flags.owndata:
         return out

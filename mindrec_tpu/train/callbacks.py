@@ -201,6 +201,12 @@ class CheckpointCallback(Callback):
             gstep = ctx.cur_step_num
         kw = dict(step=gstep, prefix=self.prefix, keep_max=self.keep_max)
         if self._async is not None:
+            if getattr(self._async._pool, "_shutdown", False):
+                # a previous train run closed the executor; the
+                # callback stays reusable across train()/online_train()
+                from mindrec_tpu.io.checkpoint import AsyncCheckpointer
+
+                self._async = AsyncCheckpointer()
             fut = self._async.save(self.directory, ctx.train_state, **kw)
             # .saved holds str paths only: append from a done-callback so
             # mid-run (or post-crash) readers never see Future objects
@@ -304,10 +310,13 @@ class ExportCallback(Callback):
             os.replace(tmp, link)
         except OSError:
             pass  # filesystems without symlinks: pollers sort by name
+        from pathlib import Path as _P
+
         while len(self.exported) > self.keep_max:
-            old = self.exported.pop(0)
-            for suffix in ("", ".npz", ".onnx"):
+            old = self.exported.pop(0)  # ".../<prefix>-<step>.mrec"
+            for victim in (old, old + ".npz",
+                           str(_P(old).with_suffix(".onnx"))):
                 try:
-                    os.unlink(old + suffix if suffix else old)
+                    os.unlink(victim)
                 except OSError:
                     pass

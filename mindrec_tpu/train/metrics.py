@@ -106,6 +106,8 @@ class GroupedMapMetric(Metric):
         labels = np.concatenate(self._labels).astype(np.float64)
         groups = np.concatenate(self._groups)
         n = scores.size
+        if n == 0:
+            return 0.0
         order = np.lexsort((-scores, groups))
         g_sorted = groups[order]
         l_sorted = labels[order]

@@ -572,7 +572,9 @@ def make_train_step(
                     for name in info["tables"]
                 )
                 id_bound = (id_bound + 2047) // 2048 * 2048
-                tiny = id_bound <= tiny_vocab
+                # streamed_segsum_unsorted holds the whole [D, ub]
+                # accumulator in one VMEM block: 2048 is its hard cap
+                tiny = id_bound <= min(tiny_vocab, 2048)
                 if tiny:
                     flat_g = ids_g.reshape(-1)
                     perm_g = uidx_s = None

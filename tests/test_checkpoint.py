@@ -174,3 +174,35 @@ def test_reshard_on_restore(tmp_path, mesh8):
     got2 = restore_checkpoint(p, live_like)
     assert got2["emb"].sharding == shardings["emb"]
     np.testing.assert_allclose(np.asarray(fwd(got2, ids)), want)
+
+
+def test_host_copy_owns_plain_ndarray():
+    """Async snapshots must never alias a caller's live numpy array
+    (mutating it before the background write lands would corrupt the
+    checkpoint)."""
+    from mindrec_tpu.io.checkpoint import _host_copy
+
+    src = np.arange(6, dtype=np.float32)
+    snap = _host_copy(src)
+    src[:] = -1
+    np.testing.assert_array_equal(snap, np.arange(6, dtype=np.float32))
+
+
+def test_checkpoint_callback_reusable_across_runs(tmp_path):
+    """One CheckpointCallback(async_save=True) serves several
+    train()/online_train() invocations (online-learning per-window
+    pattern) — on_train_end closes the executor, the next save
+    self-heals."""
+    from mindrec_tpu.train.callbacks import CheckpointCallback, RunContext
+
+    cb = CheckpointCallback(str(tmp_path), save_steps=1, keep_max=10,
+                            async_save=True)
+    state = _state()
+    for run in range(2):
+        ctx = RunContext()
+        ctx.cur_step_num = run + 1
+        ctx.train_state = state
+        cb.on_train_step_end(ctx)
+        cb.on_train_end(ctx)
+    assert len(list(tmp_path.glob("ckpt-*.npz"))) >= 1
+    assert len(cb.saved) == 2

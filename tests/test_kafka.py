@@ -15,6 +15,15 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
+
+@pytest.fixture(autouse=True)
+def _force_wire_fallback(monkeypatch):
+    """Deterministically exercise the in-repo wire clients: the stub
+    broker speaks only the v0 subset (no ApiVersions handshake), so
+    kafka-python — when installed — must not be auto-selected here."""
+    monkeypatch.setitem(sys.modules, "kafka", None)
+    monkeypatch.setitem(sys.modules, "kafka.admin", None)
+
 from mindrec_tpu.data.kafka_stub import StubKafkaBroker
 from mindrec_tpu.data.kafka_wire import (
     MiniKafkaClient,
@@ -73,7 +82,8 @@ def test_producer_consumer_roundtrip():
         prod.flush()
         prod.close()
         cons = MiniKafkaConsumer(bootstrap_servers=bootstrap,
-                                 consumer_timeout_ms=500)
+                                 consumer_timeout_ms=500,
+                                 auto_offset_reset="earliest")
         cons.assign([("rt", 0), ("rt", 1)])
         got = [json.loads(r.value) for r in cons]
         cons.close()
@@ -116,7 +126,8 @@ def test_kafka_online_train_end_to_end(tmp_path):
         fe = CriteoFeatureEngineer(stats)
         src = KafkaSource("criteo_stream", [0, 1],
                           bootstrap_servers=bootstrap, count=2,
-                          idle_timeout_ms=500)
+                          idle_timeout_ms=500,
+                          auto_offset_reset="earliest")
 
         def batches():
             for msgs in src:

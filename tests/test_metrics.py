@@ -88,3 +88,9 @@ def test_grouped_map_eval_is_fast():
     v = m.eval()
     assert time.perf_counter() - t0 < 1.0
     assert 0.0 < v < 1.0
+
+
+def test_grouped_map_empty_rows():
+    m = GroupedMapMetric(k=12)
+    m.update(np.zeros(0), np.zeros(0), np.zeros(0, np.int64))
+    assert m.eval() == 0.0

@@ -149,3 +149,20 @@ def test_export_callback_minute_level_serving(tmp_path):
                      {"ids": ids, "wts": wts})["prob"]
     want = np.asarray(model.predict(rm.state.params, ids, wts))
     np.testing.assert_allclose(probs, want, rtol=1e-4, atol=1e-5)
+
+
+def test_export_callback_onnx_retention(tmp_path):
+    """Retention removes the .onnx artifact alongside the .mrec (the
+    filenames differ by suffix, not concatenation)."""
+    import glob
+
+    from mindrec_tpu.train.callbacks import ExportCallback
+
+    model = WideDeepModel(CFG)
+    rm = RecModel(model)
+    cb = ExportCallback(str(tmp_path), "wide_deep", export_steps=1,
+                        keep_max=2, onnx_model=model)
+    rm.online_train(_stream(steps=5), callbacks=[cb])
+    assert len(glob.glob(str(tmp_path / "*.mrec"))) == 2
+    assert len(glob.glob(str(tmp_path / "*.onnx"))) == 2
+    assert len(glob.glob(str(tmp_path / "*.npz"))) == 2
