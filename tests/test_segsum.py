@@ -73,3 +73,37 @@ def test_segsum_small_n_out_bound():
     )
     assert out.shape == (4, 128)
     np.testing.assert_allclose(np.asarray(out)[:, :64], 8.0)
+
+
+def test_segsum_unsorted_matches_numpy():
+    """streamed_segsum_unsorted: arbitrary-order segment ids (raw ids,
+    no sort) over one resident output block — the tiny-vocab fast path
+    of the sparse step."""
+    from mindrec_tpu.ops.pallas.stream_segsum import streamed_segsum_unsorted
+
+    rng = np.random.default_rng(3)
+    n, d, n_out = 700, 16, 128  # n not a chunk multiple -> padding path
+    seg = rng.integers(0, 100, size=n).astype(np.int32)
+    g = rng.normal(size=(n, d)).astype(np.float32)
+    out = streamed_segsum_unsorted(
+        jnp.asarray(g), jnp.asarray(seg), n_out, chunk=256,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    want = np.zeros((d, n_out), np.float32)
+    for i in range(n):
+        want[:, seg[i]] += g[i]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+
+def test_segsum_unsorted_out_of_range_ids_drop():
+    from mindrec_tpu.ops.pallas.stream_segsum import streamed_segsum_unsorted
+
+    seg = np.array([0, 5, 500, -3, 5], np.int32)  # 500/-3 out of range
+    g = np.ones((5, 8), np.float32)
+    out = streamed_segsum_unsorted(
+        jnp.asarray(g), jnp.asarray(seg), 128, chunk=256,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    o = np.asarray(out)
+    assert o[:, 0].sum() == 8.0 and o[:, 5].sum() == 16.0
+    np.testing.assert_allclose(o.sum(), 24.0)  # droppers contribute 0
