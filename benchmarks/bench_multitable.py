@@ -73,10 +73,19 @@ def run(batch_size=131072, steps=10, warmup=3, staged=2, generic=False,
 
     host = [synth_batch(cfg, s) for s in range(staged)]
     if not generic:
+        from mindrec_tpu.models.multitable import MULTI_FIELDS
         from mindrec_tpu.train.step import prep_groups
 
         groups = prep_groups(model)  # tiny groups (indicator) skip sort
-        prep = make_batch_sort(0, groups=groups, minimal=True)
+        # masked-position compaction budget for the multi group: max
+        # kept positions across the staged batches + headroom, rounded
+        kept = max(
+            int(sum(b[f"multi_{n}_mask"].sum() for n in MULTI_FIELDS))
+            for b in host
+        )
+        budget = (int(kept * 1.05) + 511) // 512 * 512
+        prep = make_batch_sort(0, groups=groups, minimal=True,
+                               kept_budget={"multi": budget})
         host = [prep(b) for b in host]
         # trim each group's unique buffer to a shared bucket so all
         # staged batches hit one compiled trace (shape-driven ub)

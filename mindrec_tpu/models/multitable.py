@@ -143,6 +143,13 @@ class MultiTableWideDeepModel:
             "multi": {
                 "keys": tuple(f"multi_{n}_id" for n in MULTI_FIELDS),
                 "tables": ("emb64_multi", "w64_multi"),
+                # mask==0 positions contribute exactly zero gradient
+                # (both towers multiply by the mask), so host prep may
+                # COMPACT them out of the group's sorted backward
+                # stream (train/step.py make_batch_sort kept_budget)
+                "mask_keys": tuple(
+                    f"multi_{n}_mask" for n in MULTI_FIELDS
+                ),
             },
         }
 

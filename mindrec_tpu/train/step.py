@@ -945,7 +945,8 @@ class BucketOverflow(RuntimeError):
 
 def make_batch_sort(field_size: int, unique_bucket=None,
                     native: bool | None = None, minimal: bool = False,
-                    groups: dict | None = None):
+                    groups: dict | None = None,
+                    kept_budget: dict | None = None):
     """Host-side batch prep: attach ``sorted_ids``/``perm``/``inv`` so
     the jitted sparse step skips its device sorts (~4.7 ms at bs 16000).
     The input pipeline runs this on CPU, overlapped with the device step.
@@ -974,16 +975,30 @@ def make_batch_sort(field_size: int, unique_bucket=None,
     id group over the concatenation of the group's batch keys and emits
     ``{name}:``-prefixed metadata (bare keys for ``_default``), the
     multi-group contract of the streamed step.  ``unique_bucket`` may
-    then be a ``{name: int}`` dict."""
+    then be a ``{name: int}`` dict.
+
+    ``kept_budget``: ``{group: int}`` — groups that declare
+    ``mask_keys`` (multi-hot fields whose towers multiply by the mask,
+    so mask==0 positions have EXACTLY zero gradient) get their sorted
+    backward stream COMPACTED to masked-in positions, padded to this
+    static length: the device crossing + segment-sum then process only
+    ~density*N rows.  Pad slots point at position 0 with the sentinel
+    segment, which no table tile owns.  Raises :class:`BucketOverflow`
+    if a batch keeps more positions than the budget.  Semantic note: an
+    id occurring ONLY at masked positions is not "touched" (no zero-grad
+    lazy-optimizer visit) — under the usual padding convention (masked
+    slots hold a reserved padding id) this only affects the padding
+    row; tests/test_multitable.py pins exact parity elsewhere."""
     import numpy as np
 
     from mindrec_tpu.native import batchprep as _bp
 
     use_native = _bp.available() if native is None else native
+    SENT = np.int32(2**31 - 2)
 
     def group_items(batch):
         if groups is None:
-            yield "", np.asarray(batch["ids"]).reshape(-1), unique_bucket
+            yield "", np.asarray(batch["ids"]).reshape(-1), unique_bucket, None, None
             return
         for g, info in groups.items():
             keys = info["keys"] if isinstance(info, dict) else tuple(info)
@@ -999,50 +1014,78 @@ def make_batch_sort(field_size: int, unique_bucket=None,
                 unique_bucket.get(g)
                 if isinstance(unique_bucket, dict) else unique_bucket
             )
-            yield pref, np.asarray(ids_g).reshape(-1), bucket_g
+            mask_g = None
+            budget_g = (kept_budget or {}).get(g)
+            mask_keys = (
+                info.get("mask_keys") if isinstance(info, dict) else None
+            )
+            if budget_g is not None and mask_keys:
+                mparts = [np.asarray(batch[k]) for k in mask_keys]
+                mask_g = np.concatenate(
+                    [m.reshape(B, -1) for m in mparts], axis=1
+                ).reshape(-1)
+            yield pref, np.asarray(ids_g).reshape(-1), bucket_g, mask_g, budget_g
 
-    def prep_one(out, pref, ids, bucket):
+    def sort_meta(ids):
+        """-> (sorted_ids, perm, inv, uq[n], uidx, uidx_sorted, nu)."""
         n = ids.size
         if use_native:
-            (sorted_ids, perm, inv, uq, uidx, uidx_sorted,
-             nu) = _bp.batch_prep(ids, uq_len=n, minimal=minimal)
-            if bucket is not None and nu > bucket:
-                raise BucketOverflow(nu, bucket)
-            if not minimal:
-                out[pref + "sorted_ids"] = sorted_ids
-                out[pref + "inv"] = inv
+            return _bp.batch_prep(ids, uq_len=n, minimal=minimal)
+        perm = np.argsort(ids, kind="stable").astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        sorted_ids = ids[perm]
+        newv = np.empty(n, bool)
+        newv[0] = True
+        np.not_equal(sorted_ids[1:], sorted_ids[:-1], out=newv[1:])
+        uidx_sorted = np.cumsum(newv, dtype=np.int32) - 1
+        uq = np.full(n, SENT, np.int32)
+        u = sorted_ids[newv]
+        uq[: u.size] = u
+        return sorted_ids, perm, inv, uq, uidx_sorted[inv], uidx_sorted, int(u.size)
+
+    def prep_one(out, pref, ids, bucket, mask=None, budget=None):
+        n = ids.size
+        if mask is not None:
+            # masked-position compaction: sort only masked-in positions
+            # (their excluded peers carry exactly zero gradient)
+            pos = np.flatnonzero(mask > 0).astype(np.int32)
+            nk = pos.size
+            if nk > budget:
+                raise BucketOverflow(nk, budget)
+            (_s, perm_k, _i, uq_k, uidx_k, uidx_sorted_k,
+             nu) = sort_meta(ids[pos])
+            if bucket is not None and nu >= bucket:
+                # >= : the pad slots' sentinel segment needs index nu
+                raise BucketOverflow(nu + 1, bucket)
+            perm = np.zeros(budget, np.int32)  # pads: position 0 ...
+            perm[:nk] = pos[perm_k]
+            uidx_sorted = np.full(budget, nu, np.int32)  # ... sentinel seg
+            uidx_sorted[:nk] = uidx_sorted_k
+            uq = np.full(n, SENT, np.int32)
+            uq[:nk] = uq_k
+            uidx = np.zeros(n, np.int32)
+            uidx[pos] = uidx_k
             out[pref + "perm"] = perm
             out[pref + "uq_ids"] = uq
             out[pref + "uidx"] = uidx
             out[pref + "uidx_sorted"] = uidx_sorted
             return
-        perm = np.argsort(ids, kind="stable").astype(np.int32)
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(n, dtype=np.int32)
-        sorted_ids = ids[perm]
-        out[pref + "sorted_ids"] = sorted_ids
+        sorted_ids, perm, inv, uq, uidx, uidx_sorted, nu = sort_meta(ids)
+        if bucket is not None and nu > bucket:
+            raise BucketOverflow(nu, bucket)
+        if not minimal and sorted_ids is not None:
+            out[pref + "sorted_ids"] = sorted_ids
+            out[pref + "inv"] = inv
         out[pref + "perm"] = perm
-        out[pref + "inv"] = inv
-        # unique-first forward metadata (reference Unique->MapTensorGet,
-        # embedding.py:189-195): sentinel-padded unique ids + the
-        # batch-order position -> unique-index map
-        newv = np.empty(n, bool)
-        newv[0] = True
-        np.not_equal(sorted_ids[1:], sorted_ids[:-1], out=newv[1:])
-        uidx_sorted = np.cumsum(newv, dtype=np.int32) - 1
-        uq = np.full(n, 2**31 - 2, np.int32)
-        u = sorted_ids[newv]
-        if bucket is not None and u.size > bucket:
-            raise BucketOverflow(int(u.size), bucket)
-        uq[: u.size] = u
         out[pref + "uq_ids"] = uq
-        out[pref + "uidx"] = uidx_sorted[inv]
+        out[pref + "uidx"] = uidx
         out[pref + "uidx_sorted"] = uidx_sorted
 
     def prep(batch: dict) -> dict:
         out = dict(batch)
-        for pref, ids_g, bucket_g in group_items(batch):
-            prep_one(out, pref, ids_g, bucket_g)
+        for pref, ids_g, bucket_g, mask_g, budget_g in group_items(batch):
+            prep_one(out, pref, ids_g, bucket_g, mask_g, budget_g)
         return out
 
     return prep

@@ -317,3 +317,72 @@ def test_pallas_multigroup_host_prep_matches_device_meta():
         )
     finally:
         stream_update.INTERPRET = False
+
+
+def test_pallas_compacted_backward_matches_device_meta():
+    """Masked-position compaction (kept_budget): the multi group's
+    sorted backward stream contains only mask==1 positions (+ sentinel
+    pads).  Masked positions carry identically-zero gradients (both
+    towers multiply by the mask), so results match the uncompacted
+    path EXACTLY — except the documented semantic that masked-only ids
+    are NOT "touched" (no zero-grad lazy-optimizer visit).  The batch
+    uses the realistic padding convention (masked slots hold id 0), so
+    parity is exact on every row except the padding row."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mindrec_tpu.ops.pallas import stream_update
+    from mindrec_tpu.train.step import make_batch_sort, prep_groups
+
+    # multi vocab above the tiny-vocab bound so the group uses the
+    # sorted stream (compaction targets the sorted backward)
+    cfg = dataclasses.replace(CFG, sparse=True, emb64_multi_size=5000)
+    stream_update.INTERPRET = True
+    try:
+        ow = optim.ftrl(learning_rate=5e-2, l1=5e-4, l2=5e-4,
+                        initial_accum=0.1, loss_scale=1.0)
+        od = optim.adam(learning_rate=1e-3, eps=1e-6, loss_scale=1.0)
+        model = MultiTableWideDeepModel(cfg)
+        s_dev = init_train_state(model, jax.random.PRNGKey(3), ow, od)
+        s_cmp = init_train_state(model, jax.random.PRNGKey(3), ow, od)
+        step = make_train_step(model, ow, od, jit=True, donate=False,
+                               use_pallas=True, row_layout=True,
+                               matmul_dtype=jnp.float32)
+        groups = prep_groups(model)
+        assert "multi" in groups
+        prep = make_batch_sort(0, groups=groups, minimal=True,
+                               kept_budget={"multi": 256})
+        for s in (13, 14):
+            b = _batch(cfg, seed=s)
+            for n in MULTI_FIELDS:  # padding convention: masked -> id 0
+                ids = b[f"multi_{n}_id"]
+                ids[b[f"multi_{n}_mask"] == 0] = 0
+            bp = prep(dict(b))
+            n_multi = sum(b[f"multi_{n}_id"].size for n in MULTI_FIELDS)
+            kept = int(sum(b[f"multi_{n}_mask"].sum() for n in MULTI_FIELDS))
+            assert bp["multi:perm"].shape[0] == 256 < n_multi + 256
+            assert kept < 256
+            s_dev, (_, ld_d) = step(s_dev, b)       # device-derived meta
+            s_cmp, (_, ld_c) = step(s_cmp, bp)      # compacted host meta
+            np.testing.assert_allclose(float(ld_d), float(ld_c), rtol=1e-6)
+        from mindrec_tpu.ops.embedding import from_storage
+
+        for side, name, spec in (
+            ("deep", "emb64_multi", model.emb64_multi.spec),
+            ("wide", "emb64_multi_w", model.w64_multi.spec),
+        ):
+            got = from_storage(spec, s_cmp.params[side][name])
+            want = from_storage(spec, s_dev.params[side][name])
+            np.testing.assert_allclose(
+                got[1:], want[1:],  # row 0 = padding id: touched only
+                rtol=1e-5, atol=1e-7,  # by the uncompacted path
+                err_msg=f"{side}/{name} diverged",
+            )
+        np.testing.assert_allclose(
+            np.asarray(s_cmp.params["deep"]["emb128"]),
+            np.asarray(s_dev.params["deep"]["emb128"]),
+            rtol=1e-5, atol=1e-7,
+        )
+    finally:
+        stream_update.INTERPRET = False
