@@ -124,7 +124,7 @@ def bench_wide_deep(args, inline_prep=False, return_ctx=False):
     sps, _ = _timed_loop(step, state, batches, args.warmup, args.steps,
                          cfg.batch_size)
     if return_ctx:
-        # the e2e pipeline extra reuses this jitted step: its batches
+        # the e2e pipeline extras reuse this jitted step: their batches
         # have identical pytree structure/shapes, so no second compile
         return sps, {"model": model, "opt_w": opt_w, "opt_d": opt_d,
                      "step": step, "bucket": bucket, "cfg": cfg}
@@ -190,18 +190,27 @@ def bench_host_prep(args):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def bench_wide_deep_e2e(args, ctx=None):
+def bench_wide_deep_e2e(args, ctx=None, mode="host"):
     """END-TO-END pipeline throughput from RAW host batches: fresh
-    numpy batches -> 1-worker native prep pool -> async device staging
+    numpy batches -> 1-worker host stage -> async device staging
     -> jitted step (``data/pipeline.py``; the reference's dataset-sink
     loop, ``mindspore_rec/train/rec_model.py:124-131``).  No
     pre-staging, no batch reuse on device.
 
-    NB on this dev rig the host->device tunnel moves ~60 MB/s, so this
-    number is TRANSFER-bound (~11 MB/batch), not pipeline-bound: the
-    host stages sustain step rate with one worker (host_prep extra) and
-    the same pipeline is step-bound on any PCIe host — see
-    benchmarks/PROFILE_r03.md for the measured breakdown."""
+    ``mode="host"``: native prep on the host (the production default on
+    PCIe hosts — smallest step, but the sort metadata rides the wire,
+    ~12.7 MB/batch).  ``mode="wire"``: the transfer-bound recipe
+    (``data/wire.py``) — ship only compact-packed raw batches
+    (~3.2 MB/batch: 3-byte ids, bf16 wts, u8 label) and derive the sort
+    metadata on device (``ctx`` must be the inline-prep context so the
+    bucketed inline step's compiled trace is reused).
+
+    NB on this dev rig the host->device tunnel moves ~60 MB/s, so both
+    numbers are TRANSFER-bound, not pipeline-bound: the host stages
+    sustain step rate with one worker (host_prep extra) and the same
+    pipeline is step-bound on any PCIe host — see
+    benchmarks/PROFILE_r03.md for the measured breakdown;
+    ``wire.choose_prep`` picks the placement from the measured link."""
     import jax
 
     from mindrec_tpu.data.criteo import SyntheticCriteo
@@ -224,7 +233,8 @@ def bench_wide_deep_e2e(args, ctx=None):
         opt_w = optim.ftrl(loss_scale=cfg.loss_scale)
         opt_d = optim.lazy_adam(loss_scale=cfg.loss_scale)
         step = make_train_step(model, opt_w, opt_d, jit=True, donate=True)
-    warmup, steps = 3, args.e2e_steps
+    warmup = 3
+    steps = args.e2e_steps if mode == "host" else args.e2e_wire_steps
     total = warmup + steps
     data = SyntheticCriteo(cfg.batch_size, cfg.field_size, cfg.vocab_size,
                            steps=total, seed=0, fields=args.fields)
@@ -235,9 +245,29 @@ def bench_wide_deep_e2e(args, ctx=None):
         log=lambda *a, **k: None,
     )
     state = init_train_state(model, jax.random.PRNGKey(0), opt_w, opt_d)
+    pipe_kw = {}
+    if mode == "wire":
+        from mindrec_tpu.data.criteo import criteo_field_sizes
+        from mindrec_tpu.data.wire import BatchWire
+
+        if args.fields == "criteo":
+            # schema-aware plan: per-field id widths + the 13 dense
+            # columns' weights (categorical weights are the constant
+            # 1.0 the decode re-materializes) — ~1.5 MB/batch
+            wire = BatchWire.for_fields(
+                criteo_field_sizes(cfg.vocab_size, cfg.field_size),
+                cfg.batch_size,
+                wt_value_fields=tuple(range(min(13, cfg.field_size))),
+            )
+        else:
+            wire = BatchWire.for_sparse(
+                cfg.vocab_size, cfg.batch_size, cfg.field_size
+            )
+        pipe_kw = dict(host_prep=False, wire=wire)
     pipe = SparseInputPipeline(
         (data.get_batch(s) for s in range(total)),
         field_size=cfg.field_size, policy=policy, workers=1, depth=3,
+        **pipe_kw,
     )
     it = iter(pipe)
     for _ in range(warmup):
@@ -292,6 +322,9 @@ def main():
     ap.add_argument("--e2e-steps", type=int, default=12,
                     help="timed steps for the end-to-end pipeline extra "
                     "(each uploads ~11 MB through the dev tunnel)")
+    ap.add_argument("--e2e-wire-steps", type=int, default=20,
+                    help="timed steps for the compact-wire e2e extra "
+                    "(~3.2 MB/batch)")
     ap.add_argument("--skip-extras", action="store_true",
                     help="primary wide_deep metric only")
     ap.add_argument("--skip-multitable", action="store_true",
@@ -321,7 +354,9 @@ def main():
             "value": round(dfm_sps, 1), "unit": "samples/s",
             "vs_baseline": round(dfm_sps / DFM_BASELINE, 3),
         })
-        inline_sps = bench_wide_deep(args, inline_prep=True)
+        inline_sps, inline_ctx = bench_wide_deep(
+            args, inline_prep=True, return_ctx=True
+        )
         extras.append({
             "metric": "wide_deep_inline_prep_samples_per_sec_1chip",
             "value": round(inline_sps, 1), "unit": "samples/s",
@@ -343,6 +378,18 @@ def main():
                     "through this rig's ~60 MB/s host->device tunnel "
                     "(PROFILE_r03.md) — host prep sustains step rate "
                     "with 1 worker",
+        })
+        e2e_wire_sps = bench_wide_deep_e2e(args, ctx=inline_ctx, mode="wire")
+        extras.append({
+            "metric": "wide_deep_e2e_wire_samples_per_sec_1chip",
+            "value": round(e2e_wire_sps, 1), "unit": "samples/s",
+            "vs_baseline": round(e2e_wire_sps / WD_BASELINE, 3),
+            "note": "transfer-bound recipe (data/wire.py): schema-aware "
+                    "arena-packed raw batches (per-field id widths + "
+                    "dense-only bf16 wts + u8 label, ~1.4 MB/batch vs "
+                    "12.7, ONE device_put/batch), sort metadata derived "
+                    "on device; wire.choose_prep picks host vs device "
+                    "prep from the measured link bandwidth",
         })
     if not args.skip_extras and not args.dense and not args.skip_multitable:
         # Outbrain multitable flagship on the multi-group streamed path

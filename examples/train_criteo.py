@@ -52,6 +52,13 @@ def main():
                     "bound; 0 = off.  Plain sparse regime only — the "
                     "cache/host-target/dynamic adapters translate ids "
                     "after prep would run")
+    ap.add_argument("--prep_placement", default="host",
+                    choices=["host", "device", "auto"],
+                    help="with --unique_bucket: where the sort prep "
+                    "runs.  'device' ships compact-packed raw batches "
+                    "(data/wire.py) and derives metadata on-chip — the "
+                    "transfer-bound recipe; 'auto' probes the "
+                    "host->device bandwidth and picks")
     args, rest = ap.parse_known_args()
 
     import os
@@ -139,8 +146,29 @@ def main():
             "the cache/host-target/dynamic regimes: their adapters "
             "translate ids AFTER prep would have sorted the raw ids"
         )
+    placement, wire = args.prep_placement, None
+    if placement != "host":
+        if not args.unique_bucket:
+            raise SystemExit("--prep_placement device/auto needs "
+                             "--unique_bucket")
+        from mindrec_tpu.data import wire as wire_mod
+
+        if placement == "auto":
+            # transfer time of the host-prep payload vs a typical step:
+            # if the link moves the metadata in <10 ms it can never
+            # dominate, keep prep on the host (smaller step)
+            bw = wire_mod.measure_bandwidth()
+            host_payload = cfg.batch_size * cfg.field_size * 25
+            placement = "host" if host_payload / bw < 0.010 else "device"
+            print(f"[mindrec] prep placement auto -> {placement} "
+                  f"(link {bw / 1e6:.0f} MB/s)", flush=True)
+        if placement == "device":
+            wire = wire_mod.BatchWire.for_sparse(
+                cfg.vocab_size, cfg.batch_size, cfg.field_size
+            )
     rm = RecModel(model, opt_w, opt_d,
-                  unique_bucket=args.unique_bucket or None)
+                  unique_bucket=args.unique_bucket or None,
+                  wire=wire, prep_placement=placement)
     if mesh is not None:
         rm.state = shard_train_state(rm.state, model, mesh)
 

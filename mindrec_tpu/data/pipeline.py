@@ -176,12 +176,28 @@ class SparseInputPipeline:
       minimal: drop ``sorted_ids``/``inv`` from prep output (the jitted
         step never reads them; saves prep time and transfer bytes).
       on_grow: callable(new_bucket) invoked after a re-bucket.
+      wire: optional :class:`~mindrec_tpu.data.wire.BatchWire` — pack
+        batches on the host and decode them on device (one small jitted
+        elementwise pass), shrinking bytes-on-the-wire for
+        transfer-bound links; decoded batches match the un-packed
+        layout exactly, so the trainer's step trace is unchanged.
+      host_prep: ``False`` = device-prep mode: skip the host sort
+        entirely and ship only (encoded) raw batches — the step derives
+        sort/unique metadata on device (build it with
+        ``unique_bucket=policy.bucket``).  Pays ~30% more chip time but
+        halves-to-quarters the wire payload; see
+        :func:`~mindrec_tpu.data.wire.choose_prep` for the placement
+        policy.  The bucket contract is audited on the host every
+        ``audit_every`` batches (a full ``np.unique``; the device path
+        would silently drop overflow ids otherwise), growing the policy
+        and invoking ``on_grow`` like the host-prep path.
     """
 
     def __init__(self, source, field_size: int, policy=None,
                  workers: int = 1, depth: int = 3, device: bool = True,
                  sharding=None, minimal: bool = True, on_grow=None,
-                 prefetch_depth: int = 2, groups: dict | None = None):
+                 prefetch_depth: int = 2, groups: dict | None = None,
+                 wire=None, host_prep: bool = True, audit_every: int = 16):
         self.source = source
         self.field_size = field_size
         self.policy = policy
@@ -192,6 +208,22 @@ class SparseInputPipeline:
         self.minimal = minimal
         self.on_grow = on_grow
         self.prefetch_depth = prefetch_depth
+        self.wire = wire
+        self.host_prep = host_prep
+        self.audit_every = audit_every
+        if not host_prep and groups is not None:
+            raise ValueError("device-prep mode is single-id-group only")
+        if wire is not None and sharding is not None and wire.arena:
+            raise ValueError(
+                "the arena wire transport stages one fused buffer and "
+                "cannot honor per-key shardings; use BatchWire(..., "
+                "arena=False) or shard after decode"
+            )
+        self._decode = None
+        if wire is not None:
+            # no donation: the packed u8 buffers never alias the decoded
+            # outputs, so donating only emits "unusable" warnings
+            self._decode = wire.decoder(donate=False)
         # multi-id-group models (a model's table_groups mapping): prep
         # runs per group and emits prefixed metadata; the adaptive
         # bucket policy is single-group only — multi-group preps run
@@ -208,15 +240,39 @@ class SparseInputPipeline:
         self._make_prep()
 
     def _make_prep(self):
-        bucket = self.policy.bucket if self.policy is not None else None
+        policy = self.policy
+        encode = self.wire.encode if self.wire is not None else None
+
+        if not self.host_prep:
+            # device-prep mode: no host sort; optional wire encode +
+            # periodic bucket audit (the step's inline prep would
+            # silently drop ids past a too-small bucket)
+            import itertools
+
+            counter = itertools.count()
+            audit = self.audit_every
+
+            def prep(raw):
+                if policy is not None and audit and next(counter) % audit == 0:
+                    nu = int(np.unique(np.asarray(raw["ids"])).size)
+                    policy.observe(nu)
+                    if nu > policy.bucket:
+                        raise BucketOverflow(nu, policy.bucket)
+                return encode(raw) if encode is not None else dict(raw)
+
+            self._prep = prep
+            return
+
+        bucket = policy.bucket if policy is not None else None
         base = make_batch_sort(
             self.field_size, unique_bucket=bucket, minimal=self.minimal,
             groups=self.groups,
         )
-        policy = self.policy
 
         if policy is None:
-            self._prep = base
+            self._prep = (
+                base if encode is None else (lambda raw: encode(base(raw)))
+            )
             return
 
         def prep(raw):
@@ -230,7 +286,7 @@ class SparseInputPipeline:
             # the host->device copy shrinks from N to bucket entries
             if out["uq_ids"].shape[0] > policy.bucket:
                 out["uq_ids"] = out["uq_ids"][: policy.bucket]
-            return out
+            return out if encode is None else encode(out)
 
         self._prep = prep
 
@@ -251,8 +307,9 @@ class SparseInputPipeline:
     def __iter__(self):
         prep = self._prep_supervised if self.policy is not None else self._prep
         pool = HostPrepPool(self.source, prep, self.workers, self.depth)
-        if not self.device:
-            return iter(pool)
-        return iter(PrefetchToDevice(
+        it = iter(pool) if not self.device else iter(PrefetchToDevice(
             pool, depth=self.prefetch_depth, sharding=self.sharding
         ))
+        if self._decode is None:
+            return it
+        return (self._decode(b) for b in it)

@@ -66,6 +66,9 @@ class RecModel:
         unique_bucket=None,
         prep_workers: int = 1,
         host_prep: bool | None = None,
+        wire=None,
+        prep_placement: str = "host",
+        audit_every: int = 16,
     ):
         """``unique_bucket``: opt into the end-to-end host input
         pipeline (``data/pipeline.py``): an int (or
@@ -76,7 +79,18 @@ class RecModel:
         overflows the bucket.  ``prep_workers``: host prep threads.
         ``host_prep=True`` enables the pipeline without a bucket
         (lossless prep; required form for multi-id-group models, whose
-        per-group metadata the prep emits automatically)."""
+        per-group metadata the prep emits automatically).
+
+        ``wire``: optional :class:`~mindrec_tpu.data.wire.BatchWire` —
+        compact-pack batches on the host and decode on device (cuts
+        wire bytes on transfer-bound links; the step trace is
+        unchanged).  ``prep_placement``: ``"host"`` (default) runs the
+        sort prep on the host; ``"device"`` ships only (encoded) raw
+        batches and derives sort metadata inside the step — requires
+        ``unique_bucket`` (the step's static bound; audited on the host,
+        grown + re-jitted on overflow).  Pick with
+        :func:`~mindrec_tpu.data.wire.choose_prep` from the measured
+        link bandwidth."""
         self.model = model
         sens = float(getattr(model.config, "loss_scale", 1.0))
         self.opt_w = opt_w or optim_lib.ftrl(loss_scale=sens)
@@ -100,14 +114,42 @@ class RecModel:
         self.host_prep = (
             host_prep if host_prep is not None else unique_bucket is not None
         )
+        if prep_placement not in ("host", "device"):
+            raise ValueError(
+                f"prep_placement must be 'host' or 'device', got "
+                f"{prep_placement!r}"
+            )
+        if prep_placement == "device":
+            if self.bucket_policy is None:
+                raise ValueError(
+                    "prep_placement='device' needs unique_bucket (the "
+                    "step's static distinct-id bound)"
+                )
+            self.host_prep = True  # the pipeline still runs (audit+wire)
+        self.wire = wire
+        self.prep_placement = prep_placement
+        self.audit_every = audit_every
         # with a bucket policy the step derives its static unique
         # bucket from the pipeline's trimmed uq_ids length, so a bucket
-        # regrow is a shape change jit re-traces automatically
+        # regrow is a shape change jit re-traces automatically; in
+        # device-prep placement the bucket is an explicit static arg
+        # instead and a regrow rebuilds the step (_on_bucket_grow)
+        self._step_kw = dict(jit=jit, donate=donate)
+        if prep_placement == "device":
+            self._step_kw["unique_bucket"] = self.bucket_policy.bucket
         self.train_step = make_train_step(
-            model, self.opt_w, self.opt_d, jit=jit, donate=donate,
+            model, self.opt_w, self.opt_d, **self._step_kw
         )
         self.eval_step = make_eval_step(model, jit=jit)
         self.rank_id = jax.process_index()
+
+    def _on_bucket_grow(self, new_bucket: int):
+        """Device-prep placement: the host audit grew the bucket —
+        rebuild the step at the new static bound (one re-jit)."""
+        self._step_kw["unique_bucket"] = new_bucket
+        self.train_step = make_train_step(
+            self.model, self.opt_w, self.opt_d, **self._step_kw
+        )
 
     @property
     def params(self):
@@ -250,13 +292,25 @@ class RecModel:
             from mindrec_tpu.train.step import prep_groups
 
             groups = prep_groups(self.model)  # tiny groups need no sort
+            device_prep = self.prep_placement == "device"
+            if device_prep and groups is not None:
+                raise ValueError(
+                    "prep_placement='device' is single-id-group only"
+                )
             return iter(SparseInputPipeline(
                 dataset,
                 field_size=int(getattr(self.model.config, "field_size", 0)),
-                policy=None if groups is not None else self.bucket_policy,
+                policy=(
+                    self.bucket_policy
+                    if (device_prep or groups is None) else None
+                ),
                 groups=groups,
                 workers=self.prep_workers,
                 device=jax.default_backend() != "cpu",
+                wire=self.wire,
+                host_prep=not device_prep,
+                audit_every=self.audit_every,
+                on_grow=self._on_bucket_grow if device_prep else None,
             ))
         if jax.default_backend() != "cpu":
             return PrefetchToDevice(dataset, depth=2)
