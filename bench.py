@@ -172,6 +172,41 @@ def bench_deepfm(args):
     return sps
 
 
+def bench_dcn(args):
+    """DCN on the reference recipe (``models/deep_and_cross/src/
+    config.py:58-83``: bs 16000, vocab 200k, emb 27, 2x1024 deep +
+    6 cross layers, single Adam).  The reference publishes only AUC
+    (0.80) for DCN — this is a capability throughput point, reported
+    as ms/step alongside samples/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from mindrec_tpu.data.criteo import SyntheticCriteo
+    from mindrec_tpu.models.dcn import DCNConfig, DCNModel
+    from mindrec_tpu.train import optim
+    from mindrec_tpu.train.step import init_train_state, make_train_step
+
+    cfg = DCNConfig(
+        batch_size=args.batch_size, field_size=39, vocab_size=200_000,
+        emb_dim=27, deep_layer_dim=(1024, 1024), cross_layer_num=6,
+        use_mixed_precision=True, sparse=True, loss_scale=1024.0,
+    )
+    model = DCNModel(cfg)
+    opt = lambda: optim.adam(
+        learning_rate=cfg.learning_rate, loss_scale=cfg.loss_scale,
+        state_dtype=jnp.bfloat16,
+    )
+    data = SyntheticCriteo(cfg.batch_size, 39, cfg.vocab_size, steps=8,
+                           seed=0, fields="criteo")
+    state = init_train_state(model, jax.random.PRNGKey(0), opt(), opt())
+    step = make_train_step(model, opt(), opt(), jit=True, donate=True)
+    batches = _stage_batches(jax, data, 8, with_prep=True, field_size=39,
+                             bucket=131_072)
+    sps, _ = _timed_loop(step, state, batches, args.warmup,
+                         max(args.steps // 2, 20), cfg.batch_size)
+    return sps
+
+
 def bench_host_prep(args):
     """make_batch_sort wall time per batch on one CPU worker (the
     pipeline's hot config: native radix prep, minimal output set)."""
@@ -353,6 +388,15 @@ def main():
             "metric": "deepfm_train_samples_per_sec_1chip",
             "value": round(dfm_sps, 1), "unit": "samples/s",
             "vs_baseline": round(dfm_sps / DFM_BASELINE, 3),
+        })
+        dcn_sps = bench_dcn(args)
+        extras.append({
+            "metric": "dcn_train_samples_per_sec_1chip",
+            "value": round(dcn_sps, 1), "unit": "samples/s",
+            "ms_per_step": round(args.batch_size / dcn_sps * 1e3, 2),
+            "note": "reference DCN recipe (vocab 200k, emb 27, 6 cross "
+                    "layers); reference publishes AUC only — capability "
+                    "point, zoo bench coverage 4/4",
         })
         inline_sps, inline_ctx = bench_wide_deep(
             args, inline_prep=True, return_ctx=True
