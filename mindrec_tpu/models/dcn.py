@@ -105,12 +105,27 @@ class DCNModel:
         }
 
     def _cross_net(self, cross_params, x0):
-        """x_{l+1} = x0 * (x_l @ w_l) + b_l + x_l   (rank-1 cross)."""
-        x = x0
+        """x_{l+1} = x0 * (x_l @ w_l) + b_l + x_l   (rank-1 cross).
+
+        Runs in a 128-lane-aligned padded space: the input width
+        ``F*D`` (reference recipe: 39*27 = 1053) is not a multiple of
+        the TPU's 128-lane tile, and the unpadded chain costs ~10
+        relayout reshapes at ~0.52 ms each fwd+bwd (~5 ms of the 24 ms
+        step — ``benchmarks/PROFILE_r03.md`` §2b).  Padding once keeps
+        every layer's elementwise/GEMV chain tile-aligned; the math is
+        identical because the padded lanes of ``x0``/``w``/``b`` are
+        zero, so they contribute nothing to ``x_l @ w`` and stay zero
+        through the recurrence."""
+        d = x0.shape[1]
+        dp = -d % 128
+        xp = jnp.pad(x0, ((0, 0), (0, dp))) if dp else x0
+        x = xp
         for layer in cross_params:
-            xlw = jnp.einsum("bd,d->b", x, layer["w"])  # [B]
-            x = x0 * xlw[:, None] + layer["b"][None, :] + x
-        return x
+            w = jnp.pad(layer["w"], (0, dp)) if dp else layer["w"]
+            b = jnp.pad(layer["b"], (0, dp)) if dp else layer["b"]
+            xlw = jnp.einsum("bd,d->b", x, w)  # [B] (dtype promotion
+            x = xp * xlw[:, None] + b[None, :] + x  # as the unpadded chain)
+        return x[:, :d] if dp else x
 
     def _deep_net(self, mlp_params, x, train, rng):
         c = self.config
