@@ -2,8 +2,8 @@
 
 Stages 2 batches like bench_multitable, runs warmup to hit the compile
 cache, then wraps 3 steps in jax.profiler.start_trace.  Prints the top
-device ops by total duration from the trace's .xplane file via the
-lightweight event scan below (no tensorboard dependency).
+device ops by total duration from the perfetto trace.json.gz via
+profile_dcn.top_ops (no tensorboard dependency).
 """
 
 import glob
@@ -65,6 +65,9 @@ def main():
     float(losses[1])
     jax.profiler.stop_trace()
     print("trace written to", out_dir, flush=True)
+    from profile_dcn import top_ops
+
+    top_ops(out_dir)
 
 
 if __name__ == "__main__":
