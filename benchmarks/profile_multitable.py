@@ -6,8 +6,6 @@ device ops by total duration from the perfetto trace.json.gz via
 profile_dcn.top_ops (no tensorboard dependency).
 """
 
-import glob
-import json
 import sys
 import time
 from pathlib import Path

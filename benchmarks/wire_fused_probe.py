@@ -32,12 +32,12 @@ BS, FS, VOCAB = 16000, 39, 5_860_000
 WARMUP, STEPS = 3, 20
 
 
-def make_pipe(total, wire, bucket):
+def make_pipe(total, wire, bucket, decode=True):
     data = SyntheticCriteo(BS, FS, VOCAB, steps=total, seed=0, fields="criteo")
     return SparseInputPipeline(
         (data.get_batch(s) for s in range(total)),
         field_size=FS, policy=AdaptiveBucket(bucket, log=lambda *a, **k: None),
-        workers=1, depth=3, host_prep=False, wire=wire,
+        workers=1, depth=3, host_prep=False, wire=wire, decode=decode,
     )
 
 
@@ -85,8 +85,7 @@ def main():
                                unique_bucket=bucket)
     decode = wire.decoder(jit=False)
     fused = jax.jit(lambda s, p: raw_step(s, decode(p)), donate_argnums=(0,))
-    pipe = make_pipe(total, wire, bucket)
-    pipe._decode = None  # yield staged packed batches (probe-only knob)
+    pipe = make_pipe(total, wire, bucket, decode=False)  # staged packed batches
     # prime the wire layout (decode closes over it at trace time)
     state = init_train_state(model, jax.random.PRNGKey(1), opt_w, opt_d)
     ms_b = timed(fused, state, iter(pipe))

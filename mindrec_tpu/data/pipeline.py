@@ -191,13 +191,17 @@ class SparseInputPipeline:
         ``audit_every`` batches (a full ``np.unique``; the device path
         would silently drop overflow ids otherwise), growing the policy
         and invoking ``on_grow`` like the host-prep path.
+      decode: with ``wire``, ``False`` yields the staged PACKED batches
+        (no device decode pass) — for consumers that fuse the decode
+        into their own jitted step (benchmarks/wire_fused_probe.py).
     """
 
     def __init__(self, source, field_size: int, policy=None,
                  workers: int = 1, depth: int = 3, device: bool = True,
                  sharding=None, minimal: bool = True, on_grow=None,
                  prefetch_depth: int = 2, groups: dict | None = None,
-                 wire=None, host_prep: bool = True, audit_every: int = 16):
+                 wire=None, host_prep: bool = True, audit_every: int = 16,
+                 decode: bool = True):
         self.source = source
         self.field_size = field_size
         self.policy = policy
@@ -220,7 +224,7 @@ class SparseInputPipeline:
                 "arena=False) or shard after decode"
             )
         self._decode = None
-        if wire is not None:
+        if wire is not None and decode:
             # no donation: the packed u8 buffers never alias the decoded
             # outputs, so donating only emits "unusable" warnings
             self._decode = wire.decoder(donate=False)

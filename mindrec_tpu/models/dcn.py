@@ -123,8 +123,10 @@ class DCNModel:
         for layer in cross_params:
             w = jnp.pad(layer["w"], (0, dp)) if dp else layer["w"]
             b = jnp.pad(layer["b"], (0, dp)) if dp else layer["b"]
-            xlw = jnp.einsum("bd,d->b", x, w)  # [B] (dtype promotion
-            x = xp * xlw[:, None] + b[None, :] + x  # as the unpadded chain)
+            # xlw: [B]; einsum keeps the same dtype promotion as the
+            # unpadded chain
+            xlw = jnp.einsum("bd,d->b", x, w)
+            x = xp * xlw[:, None] + b[None, :] + x
         return x[:, :d] if dp else x
 
     def _deep_net(self, mlp_params, x, train, rng):
