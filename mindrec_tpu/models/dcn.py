@@ -58,6 +58,7 @@ class DCNModel:
 
     def __init__(self, config: DCNConfig, mesh=None):
         self.config = config
+        self.mesh = mesh
         c = config
         self.emb_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size,

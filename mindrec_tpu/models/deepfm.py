@@ -65,6 +65,7 @@ class DeepFMModel:
 
     def __init__(self, config: DeepFMConfig, mesh=None):
         self.config = config
+        self.mesh = mesh
         c = config
         self.w_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size, emb_dim=1, name="fm_w", sparse=c.sparse,

@@ -87,6 +87,7 @@ class MultiTableWideDeepModel:
 
     def __init__(self, config: MultiTableConfig, mesh=None):
         self.config = config
+        self.mesh = mesh
         c = config
         mk = lambda name, vocab, dim, slice_mode="none": EmbeddingLookup(
             EmbeddingTableSpec(vocab_size=vocab, emb_dim=dim, name=name,

@@ -84,6 +84,7 @@ class WideDeepModel:
 
     def __init__(self, config: WideDeepConfig, mesh=None):
         self.config = config
+        self.mesh = mesh
         c = config
         # reference regime rule (wide_and_deep.py:217): PS without the
         # device cache -> CPU/host-target lookup (tables live host-side,

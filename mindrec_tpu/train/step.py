@@ -29,6 +29,7 @@ function over a flat, path-keyed parameter view:
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, NamedTuple
 
 import jax
@@ -177,21 +178,58 @@ _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def _streamed_table_update(opt: Optimizer, grads_aug, cols_sorted, leaf_state,
-                           table, spec, matmul_dtype=None):
+                           table, spec, matmul_dtype=None, mesh=None,
+                           n_shards: int = 1):
     """Dispatch a column-sparse optimizer update to the scatter-free Pallas
     streaming kernels (ops/pallas/stream_update.py).
 
     ``grads_aug``: [Dp+8, N] touch-augmented gradients in sorted order
-    (see ``stream_update.make_aug_grads``); ``cols_sorted``: [N] i32."""
+    (see ``stream_update.make_aug_grads``); ``cols_sorted``: [N] i32.
+
+    ``n_shards > 1``: the table is row-sliced over ``mesh``'s model axis
+    — the same kernels run per shard on the local ``[Dp, Vc/M]`` block
+    (ops/sharded_stream.py), each shard updating only its owned columns.
+    """
     from mindrec_tpu.ops.pallas import stream_update as su
 
     Vc = table.shape[1]
-    tile = _pick_tile(Vc, update=True, dp=table.shape[0])
+    tile = _pick_tile(Vc // n_shards, update=True, dp=table.shape[0])
     h = opt.hyper
     if tile is None or opt.kind not in ("adam", "ftrl", "sgd"):
         raise ValueError(
             f"streamed update unavailable (kind={opt.kind}, cols={Vc}); "
             "tables must be column-aligned to 128 and use ftrl/adam/sgd"
+        )
+    if n_shards > 1:
+        from mindrec_tpu.ops import sharded_stream as ss
+
+        if opt.kind == "adam":
+            step = leaf_state["step"] + 1
+            s = step.astype(jnp.float32)
+            lr_t = (
+                h["learning_rate"]
+                * jnp.sqrt(1.0 - jnp.power(h["b2"], s))
+                / (1.0 - jnp.power(h["b1"], s))
+            )
+            t2, m2, v2 = ss.adam_cols_sharded(
+                mesh, table, leaf_state["m"], leaf_state["v"], cols_sorted,
+                grads_aug, lr_t, dim=spec.emb_dim, fold=spec.fold,
+                b1=h["b1"], b2=h["b2"], eps=h["eps"],
+                loss_scale=h["loss_scale"], tile=tile,
+                matmul_dtype=matmul_dtype,
+            )
+            return t2, {"m": m2, "v": v2, "step": step}
+        if opt.kind == "ftrl":
+            t2, a2, l2 = ss.ftrl_cols_sharded(
+                mesh, table, leaf_state["accum"], leaf_state["linear"],
+                cols_sorted, grads_aug, dim=spec.emb_dim, fold=spec.fold,
+                learning_rate=h["learning_rate"], l1=h["l1"], l2=h["l2"],
+                loss_scale=h["loss_scale"], tile=tile,
+                matmul_dtype=matmul_dtype,
+            )
+            return t2, {"accum": a2, "linear": l2}
+        raise ValueError(
+            f"sharded streamed update supports ftrl/adam (kind={opt.kind})"
         )
     if opt.kind == "sgd":
         # tests-only path: scatter-add handles duplicate cols exactly and
@@ -301,6 +339,66 @@ def make_train_step(
         )
     if matmul_dtype is None:
         matmul_dtype = jnp.bfloat16
+
+    # --- mesh composition of the streamed path --------------------------
+    # On a multi-device mesh the streamed kernels must never see a
+    # GSPMD-sharded operand: model-sharded (row-sliced) tables stream
+    # per-shard under shard_map (ops/sharded_stream.py), the backward
+    # segment-sum runs per DATA shard + psum, and everything else the
+    # kernels consume is pinned replicated.  Row-slice is the supported
+    # sharded regime (the reference flagship, wide_and_deep.py:232-249);
+    # column-slice falls back to the generic path with a loud warning.
+    mesh = getattr(model, "mesh", None)
+    mesh_n = int(mesh.devices.size) if mesh is not None else 1
+    axis_names = tuple(getattr(mesh, "axis_names", ())) if mesh is not None else ()
+    model_shards = int(mesh.shape["model"]) if "model" in axis_names else 1
+    data_shards = int(mesh.shape["data"]) if "data" in axis_names else 1
+    sharded_tables = (
+        {
+            name
+            for name, (_path, spec) in table_specs.items()
+            if spec.slice_mode != "none"
+        }
+        if model_shards > 1
+        else set()
+    )
+    if use_pallas and sharded_tables:
+        unsupported = sorted(
+            name
+            for name in sharded_tables
+            if table_specs[name][1].slice_mode != "table_row_slice"
+        )
+        if unsupported or not row_layout:
+            warnings.warn(
+                "the streamed pallas path composes with a model mesh only "
+                "for table_row_slice tables under row_layout=True "
+                f"(unsupported: {unsupported or 'row_layout=False'}); "
+                "falling back to the generic sharded path (correct, "
+                "bounded collectives, but slower)",
+                stacklevel=2,
+            )
+            use_pallas = False
+            sharded_tables = set()
+    if use_pallas and mesh_n > 1 and not row_layout:
+        warnings.warn(
+            "the feature-major streamed path (row_layout=False) is "
+            "single-device; falling back to the generic path on this "
+            f"{mesh_n}-device mesh",
+            stacklevel=2,
+        )
+        use_pallas = False
+    use_mesh_stream = use_pallas and mesh_n > 1 and row_layout
+
+    def _rep(x):
+        """Pin an array replicated so plain (unpartitioned) pallas calls
+        never receive a GSPMD-sharded operand on a multi-device mesh."""
+        if not use_mesh_stream:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec())
+        )
 
     def apply_updates(params, grads, opt_w_state, opt_d_state, skip_keys=()):
         flat_p, treedef = flatten_params(params)
@@ -448,9 +546,12 @@ def make_train_step(
                     g_aug = jnp.concatenate(
                         [g_aug[:-8], g_aug[-8:] * touch_mask[name]]
                     )
+                shard_this = name in sharded_tables
                 new_table, new_sub = _streamed_table_update(
                     opt, g_aug, uq_cols[name], opt_state[key], table, spec,
                     matmul_dtype=matmul_dtype,
+                    mesh=mesh if shard_this else None,
+                    n_shards=model_shards if shard_this else 1,
                 )
                 if is_wide_key(key):
                     opt_w_state = {**opt_w_state, key: new_sub}
@@ -564,6 +665,9 @@ def make_train_step(
             for g, info in table_groups.items():
                 ids_g = ids_by_group[g]
                 Bg, Fg = int(ids_g.shape[0]), int(ids_g.shape[1])
+                group_sharded = any(
+                    name in sharded_tables for name in info["tables"]
+                )
                 # tiny id space: the whole vocabulary is the "unique"
                 # set — no sort, no order crossings; the backward is
                 # one unsorted streamed segment-sum over raw ids
@@ -574,7 +678,7 @@ def make_train_step(
                 id_bound = (id_bound + 2047) // 2048 * 2048
                 # streamed_segsum_unsorted holds the whole [D, ub]
                 # accumulator in one VMEM block: 2048 is its hard cap
-                tiny = id_bound <= min(tiny_vocab, 2048)
+                tiny = id_bound <= min(tiny_vocab, 2048) and not group_sharded
                 if tiny:
                     flat_g = ids_g.reshape(-1)
                     perm_g = uidx_s = None
@@ -592,6 +696,12 @@ def make_train_step(
                             uq_g,
                             jnp.full((ub - uq_len,), jnp.int32(2**31 - 2)),
                         ])
+                if not tiny:
+                    # multi-device mesh: the unique vector feeds plain
+                    # (unpartitioned) pallas gathers and the shard_map
+                    # bodies — pin it replicated so GSPMD never hands
+                    # the kernels a data-sharded operand
+                    uq_b = _rep(uq_b)
                 # lane layout: the group's tables' full sublane blocks
                 # side by side in ONE row-major [ub, width] f32 buffer,
                 # so both order crossings run as 512-byte-row gathers
@@ -602,21 +712,42 @@ def make_train_step(
                 width = max(128, -(-off // 128) * 128)
                 buf = jnp.zeros((ub, width), jnp.float32)
                 uq_cols_g, sub_uq_g = {}, {}
+                sh_tables, sh_uqcols, sh_offs, sh_tiles = [], [], [], []
                 for name in info["tables"]:
                     path, spec = table_specs[name]
                     table = get_table(params, path)
                     r = spec.fold
                     uq_cols_g[name] = uq_b // r if r > 1 else uq_b
                     sub_uq_g[name] = uq_b % r if r > 1 else None
+                    if name in sharded_tables:
+                        # row-sliced table: per-shard streamed gather
+                        # under shard_map + ONE model-axis psum
+                        tl = _pick_tile(
+                            table.shape[1] // model_shards, dp=table.shape[0]
+                        )
+                        sh_tables.append(table)
+                        sh_uqcols.append(uq_cols_g[name])
+                        sh_offs.append(offs[name])
+                        sh_tiles.append(tl)
+                        continue
                     tl = _pick_tile(table.shape[1], dp=table.shape[0])
                     buf = streamed_gather_rows(
                         table, uq_cols_g[name], buf, lane_offset=offs[name],
                         tile=tl, matmul_dtype=matmul_dtype,
                     )
+                if sh_tables:
+                    from mindrec_tpu.ops import sharded_stream as ss
+
+                    # lanes are disjoint per table, so the psum'd sharded
+                    # buffer adds cleanly onto the plain-table buffer
+                    buf = buf + ss.gather_rows_sharded(
+                        mesh, sh_tables, sh_uqcols, sh_offs, sh_tiles,
+                        ub, width, matmul_dtype=matmul_dtype,
+                    )
                 gdata[g] = dict(
                     buf=buf, flat=flat_g, perm=perm_g, uidx_batch=uidx_b,
                     uidx_sorted=uidx_s, ub=ub, width=width, offs=offs,
-                    uq_cols=uq_cols_g, sub_uq=sub_uq_g,
+                    uq_cols=uq_cols_g, sub_uq=sub_uq_g, uq=uq_b,
                     ng=Bg * Fg, Bg=Bg, Fg=Fg, tiny=tiny,
                 )
 
@@ -675,19 +806,41 @@ def make_train_step(
                         streamed_segsum_unsorted,
                     )
 
-                    g_uq_all = streamed_segsum_unsorted(
-                        g_deltas[g], gd["flat"], gd["ub"],
-                        matmul_dtype=matmul_dtype,
-                    )  # [width, ub] f32
-                    # presence per id: lazy optimizers must skip ids
-                    # absent from the batch even with zero gradients
-                    counts = streamed_segsum_unsorted(
-                        jnp.ones((gd["ng"], 8), matmul_dtype),
-                        gd["flat"], gd["ub"], matmul_dtype=matmul_dtype,
-                    )
+                    if use_mesh_stream:
+                        from mindrec_tpu.ops import sharded_stream as ss
+
+                        g_uq_all = ss.unsorted_segsum_sharded(
+                            mesh, g_deltas[g], gd["flat"], gd["ub"],
+                            matmul_dtype=matmul_dtype,
+                        )  # [width, ub] f32, replicated
+                        counts = ss.unsorted_segsum_sharded(
+                            mesh, jnp.ones((gd["ng"], 8), matmul_dtype),
+                            gd["flat"], gd["ub"], matmul_dtype=matmul_dtype,
+                        )
+                    else:
+                        g_uq_all = streamed_segsum_unsorted(
+                            g_deltas[g], gd["flat"], gd["ub"],
+                            matmul_dtype=matmul_dtype,
+                        )  # [width, ub] f32
+                        # presence per id: lazy optimizers must skip ids
+                        # absent from the batch even with zero gradients
+                        counts = streamed_segsum_unsorted(
+                            jnp.ones((gd["ng"], 8), matmul_dtype),
+                            gd["flat"], gd["ub"], matmul_dtype=matmul_dtype,
+                        )
                     present = (counts[0:1] > 0).astype(jnp.float32)
                     for name in info["tables"]:
                         touch_mask[name] = present
+                elif use_mesh_stream:
+                    # per-data-shard segment-sum directly in GLOBAL
+                    # unique order (inject-uq local sort) + data psum —
+                    # no global crossing, no sharded pallas operand
+                    from mindrec_tpu.ops import sharded_stream as ss
+
+                    g_uq_all = ss.partial_segsum_sharded(
+                        mesh, g_deltas[g], gd["flat"], gd["uq"], gd["ub"],
+                        matmul_dtype=matmul_dtype,
+                    )  # [width, ub] f32, replicated
                 else:
                     g_sorted = g_deltas[g][gd["perm"]]  # [N_g, width]
                     g_uq_all = streamed_segsum(

@@ -1,0 +1,280 @@
+"""The streamed Pallas sparse path composed with the (data, model) mesh
+(ops/sharded_stream.py) — the reference's flagship distributed regime
+(row-sliced embedding under hybrid parallel,
+``models/wide_deep/src/wide_and_deep.py:232-249``) on the streamed
+kernels.
+
+Claims pinned here (VERDICT r3 item 1):
+
+1. the row-sliced sparse step with the streamed path ACTIVE (pallas
+   interpret mode on the 8-CPU mesh) matches the plain single-device
+   streamed step numerically — losses, tables, optimizer moments;
+2. its compiled HLO moves batch-scale payloads only: no collective
+   within 4x of the table bytes;
+3. unsupported sharded regimes (column slice) warn and fall back to
+   the generic path instead of handing pallas a sharded operand.
+"""
+
+import re
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
+from mindrec_tpu.ops.pallas import stream_update
+from mindrec_tpu.parallel.mesh import shard_batch, shard_train_state
+from mindrec_tpu.train import optim
+from mindrec_tpu.train.step import init_train_state, make_train_step
+
+
+@pytest.fixture(autouse=True)
+def _interpret_kernels():
+    stream_update.INTERPRET = True
+    yield
+    stream_update.INTERPRET = False
+
+
+CFG = WideDeepConfig(
+    batch_size=32,
+    field_size=8,
+    vocab_size=3000,  # padded_vocab 8192 -> 4096 per model shard
+    emb_dim=8,
+    deep_layer_dim=(16,),
+    use_mixed_precision=False,
+    sparse=True,
+    deep_table_slice_mode="table_row_slice",
+    loss_scale=1024.0,
+)
+
+
+def _batch(seed=0, cfg=CFG):
+    rng = np.random.default_rng(seed)
+    return {
+        "ids": rng.integers(
+            0, cfg.vocab_size, size=(cfg.batch_size, cfg.field_size)
+        ).astype(np.int32),
+        "wts": np.ones((cfg.batch_size, cfg.field_size), np.float32),
+        "label": (rng.uniform(size=(cfg.batch_size, 1)) > 0.5).astype(
+            np.float32
+        ),
+    }
+
+
+def test_sharded_streamed_step_matches_plain(mesh8):
+    """Row-sliced streamed step on the mesh == plain streamed step on
+    one device (same seeds, f32 one-hots for exactness)."""
+    opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
+    key = jax.random.PRNGKey(0)
+
+    # plain single-device streamed reference
+    model_p = WideDeepModel(CFG)
+    s_p = init_train_state(model_p, key, opt_w, opt_d)
+    step_p = make_train_step(
+        model_p, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+        matmul_dtype=jnp.float32,
+    )
+
+    # mesh-composed streamed step (deep table row-sliced over "model")
+    model_s = WideDeepModel(CFG, mesh=mesh8)
+    s_s = init_train_state(model_s, key, opt_w, opt_d)
+    with mesh8:
+        s_s = shard_train_state(s_s, model_s, mesh8)
+        step_s = make_train_step(
+            model_s, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+            matmul_dtype=jnp.float32,
+        )
+        for i in range(3):
+            b = _batch(seed=i)
+            s_p, (lw_p, ld_p) = step_p(s_p, b)
+            s_s, (lw_s, ld_s) = step_s(s_s, shard_batch(b, mesh8))
+            np.testing.assert_allclose(float(ld_p), float(ld_s), rtol=1e-5)
+            np.testing.assert_allclose(float(lw_p), float(lw_s), rtol=1e-5)
+
+    for path in (("deep", "table"), ("wide", "table")):
+        a, b = s_p.params, s_s.params
+        for h in path:
+            a, b = a[h], b[h]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_s.opt_d["deep/table"]["m"]),
+        np.asarray(s_p.opt_d["deep/table"]["m"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_s.opt_w["wide/table"]["accum"]),
+        np.asarray(s_p.opt_w["wide/table"]["accum"]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_sharded_streamed_hlo_never_moves_the_table(mesh8):
+    """The streamed row-sliced step's collectives carry batch-scale
+    payloads (unique rows / grads), never the table — the same bound
+    tests/test_all_to_all.py pins on the generic path."""
+    cfg = WideDeepConfig(
+        batch_size=32, field_size=39, vocab_size=131072, emb_dim=16,
+        deep_layer_dim=(64, 32), sparse=True,
+        deep_table_slice_mode="table_row_slice", loss_scale=1024.0,
+    )
+    model = WideDeepModel(cfg, mesh=mesh8)
+    ow = optim.ftrl(loss_scale=cfg.loss_scale)
+    od = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+    with mesh8:
+        state = shard_train_state(state, model, mesh8)
+        step = make_train_step(
+            model, ow, od, jit=False, donate=False, use_pallas=True,
+        )
+        batch = shard_batch(_batch(seed=0, cfg=cfg), mesh8)
+        hlo = jax.jit(step).lower(state, batch).compile().as_text()
+
+    table_bytes = int(np.prod(model.deep_spec.storage_shape)) * 4
+    ops = re.compile(
+        r"=\s*\(?\s*.*?(all[-_]to[-_]all|all[-_]gather|all[-_]reduce|"
+        r"reduce[-_]scatter|collective[-_]permute)\("
+    )
+    shape = re.compile(r"(f32|bf16|s32|u32|pred)\[([\d,]*)\]")
+    seen = 0
+    for line in hlo.splitlines():
+        m = ops.search(line)
+        if not m:
+            continue
+        b = 0
+        for sm in shape.finditer(line[: m.start(1)]):
+            dims = [int(d) for d in sm.group(2).split(",") if d]
+            b += int(np.prod(dims) if dims else 1) * (
+                2 if sm.group(1) == "bf16" else 4
+            )
+        seen += 1
+        assert b < table_bytes / 4, (
+            f"{m.group(1)} moves {b} bytes (table {table_bytes}) in the "
+            "sharded streamed step"
+        )
+    assert seen > 0, "expected collectives in the sharded streamed HLO"
+
+
+def test_column_slice_guard_falls_back(mesh8):
+    """use_pallas + column-sliced table on a model mesh: loud warning +
+    generic fallback, and the step still runs correctly."""
+    cfg = WideDeepConfig(
+        batch_size=32, field_size=8, vocab_size=3000, emb_dim=8,
+        deep_layer_dim=(16,), sparse=True,
+        deep_table_slice_mode="table_column_slice", loss_scale=1024.0,
+    )
+    model = WideDeepModel(cfg, mesh=mesh8)
+    ow = optim.ftrl(loss_scale=cfg.loss_scale)
+    od = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+    with mesh8:
+        state = shard_train_state(state, model, mesh8)
+        with pytest.warns(UserWarning, match="falling back to the generic"):
+            step = make_train_step(
+                model, ow, od, jit=True, donate=False, use_pallas=True,
+            )
+        state, (lw, ld) = step(state, shard_batch(_batch(seed=0, cfg=cfg), mesh8))
+    assert np.isfinite(float(lw)) and np.isfinite(float(ld))
+
+
+def test_multitable_sharded_matches_plain(mesh8):
+    """The multi-group streamed path under the mesh: emb128 row-sliced
+    (shard_map gather/update), the other id groups plain-replicated, the
+    indicator group on the data-sharded tiny path — all must match the
+    single-device streamed step."""
+    from mindrec_tpu.models.multitable import (
+        MULTI_FIELDS,
+        MultiTableConfig,
+        MultiTableWideDeepModel,
+    )
+
+    cfg = MultiTableConfig(
+        batch_size=16,
+        continue_field_size=4,
+        indicator_field_size=2,
+        emb128_field_size=1,
+        emb64_single_field_size=2,
+        multi_hot_sizes=(3, 4, 3, 2, 2, 3),
+        emb_128_size=100,
+        emb64_single_size=50,
+        emb64_multi_size=60,
+        indicator_size=16,
+        deep_layer_dim=(32, 16),
+        use_mixed_precision=False,
+        loss_scale=1000.0,
+        sparse=True,
+        emb128_slice_mode="table_row_slice",
+    )
+
+    def batch(seed=0):
+        rng = np.random.default_rng(seed)
+        B = cfg.batch_size
+        b = {
+            "continue_val": rng.uniform(size=(B, 4)).astype(np.float32),
+            "indicator_id": rng.integers(0, 16, (B, 2)).astype(np.int32),
+            "emb_128_id": rng.integers(0, 100, (B, 1)).astype(np.int32),
+            "emb_64_single_id": rng.integers(0, 50, (B, 2)).astype(np.int32),
+            "label": (rng.uniform(size=(B, 1)) > 0.5).astype(np.float32),
+        }
+        for name, L in zip(MULTI_FIELDS, cfg.multi_hot_sizes):
+            b[f"multi_{name}_id"] = rng.integers(0, 60, (B, L)).astype(np.int32)
+            lens = rng.integers(1, L + 1, B)
+            b[f"multi_{name}_mask"] = (
+                np.arange(L)[None, :] < lens[:, None]
+            ).astype(np.float32)
+        return b
+
+    ow = optim.ftrl(loss_scale=cfg.loss_scale)
+    od = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    key = jax.random.PRNGKey(0)
+
+    model_p = MultiTableWideDeepModel(cfg)
+    s_p = init_train_state(model_p, key, ow, od)
+    step_p = make_train_step(
+        model_p, ow, od, jit=True, donate=False, use_pallas=True,
+        matmul_dtype=jnp.float32,
+    )
+
+    model_s = MultiTableWideDeepModel(cfg, mesh=mesh8)
+    s_s = init_train_state(model_s, key, ow, od)
+    with mesh8:
+        s_s = shard_train_state(s_s, model_s, mesh8)
+        step_s = make_train_step(
+            model_s, ow, od, jit=True, donate=False, use_pallas=True,
+            matmul_dtype=jnp.float32,
+        )
+        for i in range(2):
+            b = batch(seed=i)
+            s_p, (lw_p, ld_p) = step_p(s_p, b)
+            s_s, (lw_s, ld_s) = step_s(s_s, shard_batch(b, mesh8))
+            np.testing.assert_allclose(float(ld_p), float(ld_s), rtol=1e-5)
+
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(s_p.params)[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(s_s.params)[0])
+    assert flat_p.keys() == flat_s.keys()
+    for k in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(flat_s[k]), np.asarray(flat_p[k]),
+            rtol=1e-4, atol=1e-6, err_msg=str(k),
+        )
+
+
+def test_single_device_mesh_keeps_plain_path():
+    """No mesh (or a 1-device mesh): the guard must not disturb the
+    plain streamed path — no warning, same behavior as before."""
+    model = WideDeepModel(CFG)  # slice_mode set but no mesh
+    ow = optim.ftrl(loss_scale=CFG.loss_scale)
+    od = optim.lazy_adam(loss_scale=CFG.loss_scale)
+    state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        step = make_train_step(
+            model, ow, od, jit=True, donate=False, use_pallas=True,
+            matmul_dtype=jnp.float32,
+        )
+    state, (lw, ld) = step(state, _batch(seed=0))
+    assert np.isfinite(float(lw)) and np.isfinite(float(ld))
