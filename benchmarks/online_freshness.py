@@ -42,6 +42,7 @@ def measure(
     async_ckpt=True,
     produce_hz=0.0,
     deep_layer_dim=(64, 32),
+    evict_every=0,
 ) -> dict:
     from mindrec_tpu import RecModel
     from mindrec_tpu.data.streaming import (
@@ -59,9 +60,15 @@ def measure(
 
     def stream():
         rng = np.random.default_rng(0)
-        for _ in range(steps):
+        for s in range(steps):
+            if evict_every:
+                # drifting raw-id window: early ids go idle -> evicted
+                base = 10**12 + (s // evict_every) * (vocab // 2)
+                ids = base + rng.integers(0, vocab // 2, (batch_size, field_size))
+            else:
+                ids = rng.integers(0, vocab, (batch_size, field_size)).astype(np.int32)
             b = {
-                "ids": rng.integers(0, vocab, (batch_size, field_size)).astype(np.int32),
+                "ids": ids,
                 "wts": np.ones((batch_size, field_size), np.float32),
                 "label": rng.integers(0, 2, (batch_size, 1)).astype(np.float32),
             }
@@ -85,11 +92,27 @@ def measure(
     ck = CheckpointCallback(
         ckpt_dir, save_steps=ckpt_interval, keep_max=0, async_save=async_ckpt
     )
-    rm.online_train(
-        StreamingDataset(DataReceiver(channel, 0)),
-        callbacks=[ck],
-        dataset_sink_mode=False,
-    )
+    cbs = [ck]
+    ds = StreamingDataset(DataReceiver(channel, 0))
+    adapter = None
+    if evict_every:
+        # eviction ON (the reference's known-risk path): dynamic-hash
+        # admission + periodic evict + incremental export, concurrent
+        # with the freshness measurement
+        from mindrec_tpu.train.callbacks import EvictionCallback
+        from mindrec_tpu.train.dynamic import DynamicEmbeddingAdapter
+
+        adapter = DynamicEmbeddingAdapter(
+            capacity=vocab, permit_filter_value=1,
+            evict_filter_value=2 * evict_every,
+        )
+        ev = EvictionCallback(
+            adapter, rm.model.table_specs, every_steps=evict_every,
+            export_path=Path(ckpt_dir) / "incremental.npz",
+        )
+        cbs.append(ev)
+        ds = (adapter.transform_batch(b) for b in ds)
+    rm.online_train(ds, callbacks=cbs, dataset_sink_mode=False)
 
     # freshness per batch: the first checkpoint covering batch b is the
     # save at step ceil((b+1)/K)*K (1-indexed steps, every K steps)
@@ -117,6 +140,14 @@ def measure(
         "freshness_worst_s": round(max(fresh), 3),
         "freshness_median_s": round(float(np.median(fresh)), 3),
         "serving_reload_s": round(reload_s, 3),
+        **(
+            {
+                "evict_every": evict_every,
+                "evicted_total": cbs[-1].evicted_total,
+                "incremental_exports": cbs[-1].exports,
+            }
+            if evict_every else {}
+        ),
     }
 
 
@@ -130,6 +161,9 @@ def main():
     ap.add_argument("--produce-hz", type=float, default=0.0,
                     help="throttle the producer (0 = as fast as possible)")
     ap.add_argument("--sync", action="store_true", help="blocking saves")
+    ap.add_argument("--evict-every", type=int, default=0,
+                    help="dynamic-hash mode: evict + incremental-export "
+                    "every N steps (0 = fixed-table mode)")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
     if args.platform:
@@ -140,6 +174,7 @@ def main():
         batch_size=args.batch_size, vocab=args.vocab, steps=args.steps,
         ckpt_interval=args.ckpt_interval, ckpt_dir=args.ckpt_dir,
         async_ckpt=not args.sync, produce_hz=args.produce_hz,
+        evict_every=args.evict_every,
     )
     print(json.dumps(out))
 

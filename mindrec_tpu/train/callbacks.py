@@ -320,3 +320,49 @@ class ExportCallback(Callback):
                     os.unlink(victim)
                 except OSError:
                     pass
+
+
+class EvictionCallback(Callback):
+    """Periodic feature eviction (+ optional incremental hash-table
+    export) for dynamic-embedding online training.
+
+    Reference semantics: ``evict_filter_value`` erases keys untouched
+    for that many steps (``mindspore_rec/ops/embedding.py:136-144``;
+    eviction-during-training robustness is a known reference risk area —
+    the cache-eviction core-dump fix in ``RELEASE.md:6``).  Every
+    ``every_steps`` this callback:
+
+    1. calls ``adapter.evict`` — expired keys leave the hash store,
+       their arena rows re-initialize and their optimizer state zeroes;
+       the new TrainState is written back through ``ctx.train_state``
+       (RecModel continues training on it);
+    2. optionally dumps the incremental table — admitted keys + their
+       rows (``adapter.export_tables``) — to ``export_path`` atomically,
+       the artifact a serving process hot-reloads via
+       ``adapter.import_tables`` (reference incremental model
+       import/export, ``RELEASE.md:18``).
+    """
+
+    def __init__(self, adapter, tables, every_steps: int = 100,
+                 export_path=None):
+        self.adapter = adapter
+        self.tables = tables
+        self.every = int(every_steps)
+        self.export_path = export_path
+        self.evicted_total = 0
+        self.exports = 0
+
+    def on_train_step_end(self, ctx: RunContext):
+        if ctx.cur_step_num % self.every != 0:
+            return
+        state, n = self.adapter.evict(ctx.train_state, self.tables)
+        self.evicted_total += int(n)
+        ctx.train_state = state
+        if self.export_path is not None:
+            import os
+
+            blob = self.adapter.export_tables(state.params, self.tables)
+            tmp = str(self.export_path) + ".tmp.npz"
+            np.savez(tmp, **blob)
+            os.replace(tmp, self.export_path)
+            self.exports += 1

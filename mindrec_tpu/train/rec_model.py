@@ -184,6 +184,10 @@ class RecModel:
                 ctx.net_outputs = losses
                 ctx.train_state = self.state
                 cb.on_train_step_end(ctx)
+                if ctx.train_state is not self.state:
+                    # a callback replaced the state (EvictionCallback
+                    # resets freed rows) — train on it from here on
+                    self.state = ctx.train_state
                 if ctx.stop_requested:
                     break
             cb.on_train_epoch_end(ctx)
@@ -248,6 +252,10 @@ class RecModel:
             ctx.net_outputs = losses
             ctx.train_state = self.state
             cb.on_train_step_end(ctx)
+            if ctx.train_state is not self.state:
+                # a callback replaced the state (EvictionCallback resets
+                # freed rows mid-stream) — continue training on it
+                self.state = ctx.train_state
             cb.on_train_epoch_end(ctx)
         cb.on_train_end(ctx)
         return self.state
