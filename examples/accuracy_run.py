@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--fresh-steps-per-epoch", type=int, default=500)
     ap.add_argument("--pipeline", action="store_true",
                     help="TSV -> preprocess -> packed shards -> train")
+    ap.add_argument("--async-prep", action="store_true",
+                    help="with --pipeline: feed the step through the "
+                    "production input pipeline (SparseInputPipeline: "
+                    "host prep pool + device staging + host-prepped "
+                    "sort/unique metadata) instead of direct iteration")
     ap.add_argument("--pipeline-rows", type=int, default=200_000)
     ap.add_argument("--work-dir", default="./accuracy_data")
     ap.add_argument("--log", default="accuracy_run.log")
@@ -86,6 +91,7 @@ def main():
     emit({"event": "start", "model": args.model, "vocab": gen.vocab_size,
           "bayes_auc": round(bayes, 4), "pos_rate": round(gen.positive_rate(), 4),
           "batch_size": args.batch_size,
+          "async_prep": bool(args.async_prep),
           "dataset_samples": args.train_batches * args.batch_size})
 
     # pipeline mode: preprocess remaps cats to its own id space (cat2id +
@@ -145,6 +151,16 @@ def main():
                        line_per_sample=100)
         train_ds = lambda: PackedCriteoDataset(work / "packed" / "train", args.batch_size)
         eval_ds = lambda: PackedCriteoDataset(work / "packed" / "test", args.batch_size)
+        if args.async_prep:
+            from mindrec_tpu.data.pipeline import SparseInputPipeline
+
+            base_ds = train_ds
+            # lossless prep (policy=None): constant unique shape -> one
+            # compiled trace; prep pool overlaps the device step and the
+            # jitted step consumes the host-prepped sort/unique metadata
+            train_ds = lambda: iter(SparseInputPipeline(
+                base_ds(), field_size=39, policy=None, workers=2, depth=3,
+            ))
         train_batches = None
         # NOTE: preprocess remaps cat values to its own id space (cat2id
         # + per-column OOV); vocab_size above bounds it since every raw

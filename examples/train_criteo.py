@@ -276,7 +276,10 @@ def main():
 
     callbacks = [
         LossCallback(cfg.loss_file_name, per_print_times=10),
-        TimeMonitor(),
+        # sparse models also report achieved samples/s vs the analytic
+        # HBM/MXU floor (utils/profiling.sparse_step_floor)
+        TimeMonitor(speed_of_light=model if cfg.sparse else None,
+                    batch_size=cfg.batch_size),
         EvalCallback(rm, make_data(train=False), cfg.eval_file_name),
     ]
     if args.ckpt_interval > 0:

@@ -177,6 +177,24 @@ class MultiTableWideDeepModel:
             },
         }
 
+    def _pool_matrix(self, dtype):
+        """Static ``[sum(Lk), n_fields]`` field one-hot (exact at any
+        dtype) + f32 ``1/Lk`` per field: one matmul + one tiny divide =
+        the 6 per-field masked full-length means (reference ReduceMean,
+        ``wide_and_deep_multitable/src/wide_and_deep.py:271-349``) with
+        the division applied in f32 on the small pooled output, so the
+        numerics match the old slice-and-mean path."""
+        import numpy as np
+
+        sizes = self.config.multi_hot_sizes
+        p = np.zeros((sum(sizes), len(sizes)), np.float32)
+        off = 0
+        for f, lk in enumerate(sizes):
+            p[off : off + lk, f] = 1.0
+            off += lk
+        inv_l = np.asarray([1.0 / lk for lk in sizes], np.float32)
+        return jnp.asarray(p, dtype), jnp.asarray(inv_l)
+
     def _mlp(self, mlp_params, x, train, rng):
         c = self.config
         dtype = jnp.bfloat16 if c.use_mixed_precision else jnp.float32
@@ -247,20 +265,26 @@ class MultiTableWideDeepModel:
         ind_emb = rows["emb64_indicator"].reshape(B, -1)
         e128 = rows["emb128"].reshape(B, -1)
         e64s = rows["emb64_single"].reshape(B, -1)
-        pooled = []
-        off = 0
+        # ONE masked multiply over the whole [B, sum(Lk), 64] block +
+        # ONE [sum(Lk), 6] pooling matmul (entry f holds 1/Lk on field
+        # f's slots) replace the 6 odd-offset slices + per-field means:
+        # the slices forced [5.1M,64]-scale relayout/pad passes fwd+bwd
+        # (~23 ms/step at bs 131,072 — benchmarks/PROFILE_r03.md §2);
+        # the matmul computes the same masked full-length means
+        # (reference ReduceMean semantics) without ever re-packing.
         multi = rows["emb64_multi"]  # [B, sum(Lk), 64]
-        for name, lk in zip(MULTI_FIELDS, c.multi_hot_sizes):
-            mask = batch[f"multi_{name}_mask"]
-            emb = multi[:, off : off + lk]
-            off += lk
-            # reference: masked multiply, mean over the FULL hot dim
-            pooled.append(
-                jnp.mean(emb * mask[:, :, None].astype(emb.dtype), axis=1,
-                         dtype=jnp.float32)
-            )
+        mask_all = jnp.concatenate(
+            [batch[f"multi_{name}_mask"] for name in MULTI_FIELDS], axis=1
+        )  # [B, sum(Lk)]
+        masked = multi * mask_all[:, :, None].astype(multi.dtype)
+        pool_p, inv_l = self._pool_matrix(multi.dtype)  # [sum(Lk), 6], [6]
+        pooled_all = jnp.einsum(
+            "bld,lf->bfd", masked, pool_p,
+            preferred_element_type=jnp.float32,
+        ) * inv_l[None, :, None]  # [B, 6, 64] field-major (old concat order)
         deep_in = jnp.concatenate(
-            [batch["continue_val"], ind_emb, e128, e64s, *pooled], axis=1
+            [batch["continue_val"], ind_emb, e128, e64s,
+             pooled_all.reshape(B, -1)], axis=1
         )
         deep_out = self._mlp(params["deep"]["mlp"], deep_in, train, rng)
 
@@ -274,19 +298,15 @@ class MultiTableWideDeepModel:
         w128 = jnp.sum(rows["w128"], axis=(1, 2), dtype=jnp.float32)[:, None]
         w64s = jnp.sum(rows["w64_single"], axis=(1, 2),
                        dtype=jnp.float32)[:, None]
-        wm = 0.0
-        off = 0
         # folded [V,1] tables deliver [B, F, fold] rows with only the
-        # owning sublane nonzero — sum the last axis, never slice it
+        # owning sublane nonzero — sum the last axis, never slice it;
+        # the 6 per-field masked sums collapse to one masked reduction
+        # over the concatenated hot axis (same mask_all as the deep side)
         wmulti = jnp.sum(rows["w64_multi"], axis=-1)  # [B, sum(Lk)]
-        for name, lk in zip(MULTI_FIELDS, c.multi_hot_sizes):
-            mask = batch[f"multi_{name}_mask"]
-            ws = wmulti[:, off : off + lk]
-            off += lk
-            wm = wm + jnp.sum(
-                ws * mask.astype(ws.dtype), axis=1, keepdims=True,
-                dtype=jnp.float32,
-            )
+        wm = jnp.sum(
+            wmulti * mask_all.astype(wmulti.dtype), axis=1, keepdims=True,
+            dtype=jnp.float32,
+        )
         wide_out = val_w + ind_w + w128 + w64s + wm + w["bias"]
         return wide_out + deep_out.astype(jnp.float32)  # [B,1]
 

@@ -141,12 +141,19 @@ class CachedTrainingAdapter:
             raise RuntimeError(
                 "cache thrash: batch touches more distinct ids than cache_rows"
             )
-        k = self.max_swap
-        if load_ids.shape[0] > k or evict_ids.shape[0] > k:
+        if load_ids.shape[0] > self.max_swap or evict_ids.shape[0] > self.max_swap:
             raise RuntimeError(
                 f"swap overflow: load={load_ids.shape[0]} "
-                f"evict={evict_ids.shape[0]} > max_swap={k}"
+                f"evict={evict_ids.shape[0]} > max_swap={self.max_swap}"
             )
+        # shape-bucketed swap: pad to the next power of two (floor 256)
+        # instead of always max_swap — steady-state cache traffic is a
+        # small fraction of the cold-start worst case, and the swap
+        # buffers travel host->device every step, so moving max_swap
+        # rows when 2k suffice wastes PCIe/HBM bandwidth.  The jitted
+        # swap re-traces once per bucket (a handful over a run).
+        n = max(load_ids.shape[0], evict_ids.shape[0], 1)
+        k = min(self.max_swap, max(256, 1 << (n - 1).bit_length()))
         for i, s in zip(load_ids.tolist(), load_slots.tolist()):
             self._shadow[i] = s
         for i in evict_ids.tolist():
@@ -191,8 +198,10 @@ class CachedTrainingAdapter:
         n = evict_ids.shape[0]
         for name, per in prep["evicted"].items():
             for tname, rows in per.items():
+                # slice ON DEVICE before fetching: only the n real
+                # evicted rows cross the link, not the padded buffer
                 self.tiers[name][tname].write(
-                    evict_ids, np.asarray(rows)[:n]
+                    evict_ids, np.asarray(rows[:n])
                 )
 
     # -- device side ---------------------------------------------------

@@ -137,13 +137,33 @@ class EvalCallback(Callback):
 
 
 class TimeMonitor(Callback):
-    """Epoch + per-step timing (reference ``TimeMonitor``)."""
+    """Epoch + per-step timing (reference ``TimeMonitor``,
+    ``train_and_eval_distribute.py:110``).
 
-    def __init__(self, data_size: Optional[int] = None):
+    ``speed_of_light``: pass ``(model, batch_size)`` — or a precomputed
+    :func:`mindrec_tpu.utils.profiling.sparse_step_floor` dict — and
+    each epoch line additionally reports achieved samples/s as a
+    percentage of the model's analytic HBM/MXU floor, so production
+    runs see how far from the hardware ceiling they sit without a
+    manual profile pass."""
+
+    def __init__(self, data_size: Optional[int] = None,
+                 speed_of_light=None, batch_size: Optional[int] = None):
         self.data_size = data_size
         self.step_times: list[float] = []
         self._epoch_t0 = None
         self._step_t0 = None
+        self.batch_size = batch_size
+        self.floor = None
+        if speed_of_light is not None:
+            if isinstance(speed_of_light, dict):
+                self.floor = speed_of_light
+            else:  # a model: derive the floor from its static shapes
+                from mindrec_tpu.utils.profiling import sparse_step_floor
+
+                bs = batch_size or speed_of_light.config.batch_size
+                self.batch_size = bs
+                self.floor = sparse_step_floor(speed_of_light, bs)
 
     def on_train_epoch_begin(self, ctx):
         self._epoch_t0 = time.perf_counter()
@@ -159,10 +179,21 @@ class TimeMonitor(Callback):
     def on_train_epoch_end(self, ctx):
         dt = time.perf_counter() - self._epoch_t0
         n = len(self.step_times) or 1
-        print(
-            f"epoch time: {dt * 1000:.3f} ms, per step time: {dt * 1000 / n:.3f} ms",
-            flush=True,
+        line = (
+            f"epoch time: {dt * 1000:.3f} ms, per step time: "
+            f"{dt * 1000 / n:.3f} ms"
         )
+        if self.floor and self.batch_size and self.step_times:
+            med = sorted(self.step_times)[len(self.step_times) // 2]
+            sps = self.batch_size / med
+            pct = 100.0 * (self.floor["floor_ms"] / 1e3) / med
+            line += (
+                f", {sps:,.0f} samples/s = {pct:.0f}% of the "
+                f"{self.floor['floor_samples_per_sec']:,}/s analytic "
+                f"floor (hbm {self.floor['hbm_ms']} ms + mxu "
+                f"{self.floor['mxu_ms']} ms)"
+            )
+        print(line, flush=True)
 
 
 class CheckpointCallback(Callback):

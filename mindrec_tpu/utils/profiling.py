@@ -68,3 +68,104 @@ def dump_ir(fn, *example_args, path: str = "./graphs", name: str = "jit_fn",
     except Exception:  # compile may be unavailable on some backends
         pass
     return files
+
+
+# ---------------------------------------------------------------------------
+# speed-of-light floor (PROFILE_r02/r03 arithmetic, automated)
+# ---------------------------------------------------------------------------
+
+# Measured stream/matmul envelopes of the dev chip (benchmarks/
+# PROFILE_r02.md "Speed-of-light analysis": streamed kernels sustain
+# ~136-137 GB/s on a ~215 GB/s part; [16000,1024]x[1024,1024] bf16
+# matmuls run at ~190-200 TFLOP/s).  Override per deployment part.
+HBM_GBPS = 215.0
+MXU_TFLOPS = 200.0
+SECTOR_BYTES = 512  # random-row reads are sector-granular
+
+
+def _dsize(dtype_name: str) -> int:
+    return 2 if "16" in str(dtype_name) else 4
+
+
+def sparse_step_floor(model, batch_size: int, *, unique_bucket=None,
+                      hbm_gbps: float = HBM_GBPS,
+                      mxu_tflops: float = MXU_TFLOPS) -> dict:
+    """Analytic LOWER BOUND on the sparse train step's time from static
+    byte/FLOP counts — the manual PROFILE_r02/r03 arithmetic as a
+    library call (reference ships TimeMonitor everywhere,
+    ``train_and_eval_distribute.py:110``; this framework's
+    differentiator is that it also knows its floors).
+
+    Model: bandwidth-bound table phases + MXU-bound MLP, summed:
+
+    * gather streams every sparse table once (read) and writes the
+      ``[U, width]`` unique row buffer;
+    * the two order crossings move ``N`` random rows at sector
+      granularity (512 B reads) each way;
+    * the optimizer update pumps table + 2 state arrays read+write;
+      per table the traffic is bounded BELOW by
+      ``min(whole array, touched columns at sector granularity)`` —
+      the real kernels stream whole tiles (more bytes), so the bound
+      holds whatever the tile schedule does;
+    * the MLP contributes ``6 * B * sum(in*out)`` FLOPs (fwd 2 + bwd 4)
+      at the measured bf16 matmul rate.
+
+    Omitted terms (elementwise epilogues, segsum, host work) only make
+    the real step SLOWER, so the returned floor stays a true bound.
+    Returns a dict with the byte/FLOP breakdown, ``floor_ms`` and
+    ``floor_samples_per_sec``.
+    """
+    specs = getattr(model, "table_specs", {})
+    cfg = model.config
+    n_positions = batch_size * int(getattr(cfg, "field_size", 0) or 0)
+    u = int(unique_bucket) if unique_bucket else n_positions
+
+    table_bytes = 0
+    width = 0
+    for _name, (_path, spec) in specs.items():
+        rows, cols = spec.storage_shape
+        dt = _dsize(getattr(spec, "dtype", "float32"))
+        tb = rows * cols * dt
+        # traffic cap: streaming never needs more than the touched rows'
+        # sectors; with U uniques only ~U columns' tiles matter
+        touched = min(tb, u * max(SECTOR_BYTES, rows * dt))
+        gather = touched
+        # adam/ftrl: 3 arrays read + 3 written (state at table width)
+        update = 6 * touched
+        table_bytes += gather + update
+        width += rows
+    lane_width = max(128, -(-width // 128) * 128)
+    buf_bytes = u * lane_width * 4  # the [U, width] f32 buffer write
+
+    # order crossings: batch->sorted and sorted->batch; each moves N
+    # random rows — sector-granular (512 B) reads + bf16 transport-row
+    # writes (the measured physics of PROFILE_r02's backward permute)
+    row_write = lane_width * 2  # bf16 matmul_dtype transport
+    crossing_bytes = (
+        2 * n_positions * (SECTOR_BYTES + row_write) if n_positions else 0
+    )
+
+    mlp_flops = 0
+    dims = getattr(model, "mlp_dims", None)
+    if dims:
+        mlp_flops = 6 * batch_size * sum(i * o for i, o in dims)
+
+    hbm_bytes = table_bytes + buf_bytes + crossing_bytes
+    hbm_ms = hbm_bytes / (hbm_gbps * 1e6)
+    mxu_ms = mlp_flops / (mxu_tflops * 1e9)
+    floor_ms = hbm_ms + mxu_ms
+    return {
+        "table_bytes": int(table_bytes),
+        "crossing_bytes": int(crossing_bytes),
+        "buffer_bytes": int(buf_bytes),
+        "hbm_bytes": int(hbm_bytes),
+        "mlp_flops": int(mlp_flops),
+        "hbm_ms": round(hbm_ms, 3),
+        "mxu_ms": round(mxu_ms, 3),
+        "floor_ms": round(floor_ms, 3),
+        "floor_samples_per_sec": (
+            round(batch_size / (floor_ms / 1e3)) if floor_ms else None
+        ),
+        "hbm_gbps": hbm_gbps,
+        "mxu_tflops": mxu_tflops,
+    }

@@ -115,7 +115,8 @@ def test_accuracy_pipeline_entrypoint(tmp_path):
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
     out = subprocess.run(
         [sys.executable, str(REPO / "examples" / "accuracy_run.py"),
-         "--pipeline", "--platform", "cpu", "--vocab-scale", "0.001",
+         "--pipeline", "--async-prep", "--platform", "cpu",
+         "--vocab-scale", "0.001",
          "--pipeline-rows", "60000", "--batch-size", "1000",
          "--emb-dim", "16", "--epochs", "6", "--eval-every", "6",
          "--work-dir", str(tmp_path / "wk"), "--log", str(tmp_path / "acc.log")],
