@@ -222,16 +222,48 @@ class HostTier:
             return s
         s = len(self._ssd_index)
         self._ssd_index[fid] = s
-        if s >= self._ssd_rows:
-            new_rows = self._ssd_rows + self.SSD_GROW
-            if self._ssd is not None:
-                self._ssd.flush()  # data persists in the file
-            self._ssd = np.memmap(
-                self._ssd_path, dtype=np.float32, mode="r+" if self._ssd_rows else "w+",
-                shape=(new_rows, self.dim),
-            )
-            self._ssd_rows = new_rows
+        self._ssd_reserve(s + 1)
         return s
+
+    def _ssd_reserve(self, rows: int) -> None:
+        """Grow the spill file to hold >= ``rows`` rows (one remap)."""
+        if rows <= self._ssd_rows:
+            return
+        new_rows = -(-rows // self.SSD_GROW) * self.SSD_GROW
+        if self._ssd is not None:
+            self._ssd.flush()  # data persists in the file
+        self._ssd = np.memmap(
+            self._ssd_path, dtype=np.float32,
+            mode="r+" if self._ssd_rows else "w+",
+            shape=(new_rows, self.dim),
+        )
+        self._ssd_rows = new_rows
+
+    def _ssd_slots_batch(self, fids: np.ndarray, allocate: bool) -> np.ndarray:
+        """Vectorized id->file-row resolution; with ``allocate`` new ids
+        get contiguous fresh slots (ONE file grow, ONE init draw) —
+        the per-row python loop was ~8 us/row, this is ~0.1."""
+        idx = self._ssd_index
+        slots = np.fromiter(
+            (idx.get(f, -1) for f in fids.tolist()), np.int64, fids.size
+        )
+        if not allocate:
+            return slots
+        miss = slots < 0
+        if miss.any():
+            new_fids = np.unique(fids[miss])
+            base = len(idx)
+            self._ssd_reserve(base + new_fids.size)
+            for j, f in enumerate(new_fids.tolist()):
+                idx[f] = base + j
+            self._ssd[base : base + new_fids.size] = self._init_fn(
+                new_fids.size
+            )
+            slots[miss] = np.fromiter(
+                (idx[f] for f in fids[miss].tolist()), np.int64,
+                int(miss.sum()),
+            )
+        return slots
 
     def read(self, ids: np.ndarray) -> np.ndarray:
         """Fetch rows by feature id (lazy-init unseen rows).
@@ -251,13 +283,10 @@ class HostTier:
                 self._ram[fresh] = self._init_fn(fresh.size)
                 self._ram_init[fresh] = True
             out[in_ram] = self._ram[ram_ids]
-        for i in np.nonzero(~in_ram)[0]:
-            fid = int(ids[i])
-            s = self._ssd_slot(fid, allocate=False)
-            if s < 0:
-                s = self._ssd_slot(fid, allocate=True)
-                self._ssd[s] = self._init_fn(1)[0]
-            out[i] = self._ssd[s]
+        pos = np.nonzero(~in_ram)[0]
+        if pos.size:
+            slots = self._ssd_slots_batch(ids[pos], allocate=True)
+            out[pos] = self._ssd[slots]
         return out
 
     def write(self, ids: np.ndarray, rows: np.ndarray) -> None:
@@ -268,8 +297,10 @@ class HostTier:
         if in_ram.any():
             self._ram[ids[in_ram]] = rows[in_ram]
             self._ram_init[ids[in_ram]] = True
-        for i in np.nonzero(~in_ram)[0]:
-            self._ssd[self._ssd_slot(int(ids[i]), allocate=True)] = rows[i]
+        pos = np.nonzero(~in_ram)[0]
+        if pos.size:
+            slots = self._ssd_slots_batch(ids[pos], allocate=True)
+            self._ssd[slots] = rows[pos]
 
     def flush(self):
         if self._ssd is not None:

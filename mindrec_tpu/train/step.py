@@ -387,6 +387,18 @@ def make_train_step(
             stacklevel=2,
         )
         use_pallas = False
+    if use_pallas and mesh_n > 1 and "data" not in axis_names:
+        # the sharded backward runs per data shard; a mesh without the
+        # standard (data, model) axes (parallel/mesh.make_mesh) is not
+        # composed with the streamed kernels
+        warnings.warn(
+            f"mesh axes {axis_names} lack 'data'; falling back to the "
+            "generic sharded path (build meshes with "
+            "parallel.mesh.make_mesh for the streamed composition)",
+            stacklevel=2,
+        )
+        use_pallas = False
+        sharded_tables = set()
     use_mesh_stream = use_pallas and mesh_n > 1 and row_layout
 
     def _rep(x):

@@ -181,6 +181,46 @@ def test_column_slice_guard_falls_back(mesh8):
     assert np.isfinite(float(lw)) and np.isfinite(float(ld))
 
 
+def test_sharded_streamed_with_host_prep(mesh8):
+    """The production input contract: host-prepped sort/unique metadata
+    (make_batch_sort) feeds the mesh-composed streamed step — the uq
+    vector arrives data-sharded from shard_batch and the step's
+    replication pin must make it kernel-safe.  Parity vs the
+    device-derived-metadata sharded step."""
+    from mindrec_tpu.train.step import make_batch_sort
+
+    opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
+    opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
+    key = jax.random.PRNGKey(0)
+
+    model = WideDeepModel(CFG, mesh=mesh8)
+    states = {}
+    with mesh8:
+        for tag in ("dev", "host"):
+            states[tag] = shard_train_state(
+                init_train_state(model, key, opt_w, opt_d), model, mesh8
+            )
+        step = make_train_step(
+            model, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+            matmul_dtype=jnp.float32,
+        )
+        prep = make_batch_sort(CFG.field_size)
+        for i in range(2):
+            b = _batch(seed=i)
+            states["dev"], (_, ld_d) = step(
+                states["dev"], shard_batch(b, mesh8)
+            )
+            states["host"], (_, ld_h) = step(
+                states["host"], shard_batch(prep(b), mesh8)
+            )
+            np.testing.assert_allclose(float(ld_d), float(ld_h), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(states["host"].params["deep"]["table"]),
+        np.asarray(states["dev"].params["deep"]["table"]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
 def test_multitable_sharded_matches_plain(mesh8):
     """The multi-group streamed path under the mesh: emb128 row-sliced
     (shard_map gather/update), the other id groups plain-replicated, the
