@@ -470,22 +470,32 @@ def main():
         )
         bc = _ilu.module_from_spec(spec_c)
         spec_c.loader.exec_module(bc)
-        c = bc.run(steps=16, warmup=8, verbose=False)
-        extras.append({
-            "metric": "wide_deep_cached_train_samples_per_sec_1chip",
-            "value": c["samples_per_sec"], "unit": "samples/s",
-            "vs_baseline": round(c["samples_per_sec"] / WD_BASELINE, 3),
-            "ms_per_step": c["ms_per_step"],
-            "hit_rate_unique": c["hit_rate_unique"],
-            "hit_rate_positions": c["hit_rate_positions"],
-            "loads_per_step": c["loads_per_step"],
-            "host_swap_ms": c["host_swap_ms"],
-            "note": "virtual vocab 100M through a 4.6M-row HBM cache "
-                    "(reference TB knob) + 1GB-RAM-capped SSD-spilling "
-                    "host tier, zipf id traffic; swap rows cross the "
-                    "dev tunnel (~60 MB/s) — PCIe hosts pay ~100x less "
-                    "per load",
-        })
+        try:
+            c = bc.run(steps=12, warmup=6, verbose=False)
+            extras.append({
+                "metric": "wide_deep_cached_train_samples_per_sec_1chip",
+                "value": c["samples_per_sec"], "unit": "samples/s",
+                "vs_baseline": round(c["samples_per_sec"] / WD_BASELINE, 3),
+                "ms_per_step": c["ms_per_step"],
+                "hit_rate_unique": c["hit_rate_unique"],
+                "hit_rate_positions": c["hit_rate_positions"],
+                "loads_per_step": c["loads_per_step"],
+                "host_swap_ms": c["host_swap_ms"],
+                "note": "virtual vocab 100M through a 4.6M-row HBM cache "
+                        "(reference TB knob) + 1GB-RAM-capped SSD-spilling "
+                        "host tier, zipf id traffic; HOST-swap-bound: "
+                        "measured 56-63k on a quiet host "
+                        "(benchmarks/PROFILE_r04.md), degrades with "
+                        "concurrent host CPU load; swap rows also cross "
+                        "the dev tunnel (~60 MB/s) — PCIe hosts pay "
+                        "~100x less per load",
+            })
+        except Exception as e:  # pragma: no cover — never lose the
+            # whole bench contract to the TB extra
+            extras.append({
+                "metric": "wide_deep_cached_train_samples_per_sec_1chip",
+                "error": str(e)[:200],
+            })
     # analytic speed-of-light floor for the primary recipe (the
     # PROFILE_r02 arithmetic productized — utils/profiling.py); the
     # judge-facing ratio says how close the step sits to the measured

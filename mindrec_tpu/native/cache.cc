@@ -12,14 +12,115 @@
 // C ABI for ctypes.
 
 #include <cstdint>
-#include <unordered_map>
+#include <climits>
+#include <cstring>
 #include <vector>
 
 namespace {
 
+
+// Flat open-addressing int64->slot map (linear probe, power-of-two
+// table, tombstones with rebuild-on-pressure).  The LRU's map holds at
+// most `capacity` live entries and sees one find per batch position —
+// the std::unordered_map it replaces spent ~45 ns/probe in pointer
+// chasing; a flat table probes one cache line (~12 ns).  Eviction
+// churn leaves tombstones; when they exceed half the live bound the
+// table rebuilds from scratch in O(table) (amortized negligible).
+class FlatMap {
+ public:
+  explicit FlatMap(int64_t max_entries) : max_entries_(max_entries) {
+    int64_t want = max_entries * 2;  // load factor <= 0.5 (+tombstones
+                                     // bounded by the rebuild trigger)
+    cap_ = 64;
+    while (cap_ < want) cap_ <<= 1;
+    mask_ = cap_ - 1;
+    keys_.assign(cap_, kEmpty);
+    vals_.resize(cap_);
+  }
+
+  static constexpr int64_t kEmpty = INT64_MIN;
+  static constexpr int64_t kTomb = INT64_MIN + 1;
+
+  // -1 if absent
+  int64_t Find(int64_t key) const {
+    int64_t i = Hash(key);
+    for (;;) {
+      const int64_t k = keys_[i];
+      if (k == key) return vals_[i];
+      if (k == kEmpty) return -1;
+      i = (i + 1) & mask_;
+    }
+  }
+
+  void Insert(int64_t key, int64_t val) {
+    if (tombs_ > max_entries_ / 2) Rebuild();
+    int64_t i = Hash(key);
+    for (;;) {
+      const int64_t k = keys_[i];
+      if (k == kEmpty || k == kTomb) {
+        if (k == kTomb) --tombs_;
+        keys_[i] = key;
+        vals_[i] = val;
+        ++size_;
+        return;
+      }
+      if (k == key) {  // overwrite (not used by the LRU, kept for safety)
+        vals_[i] = val;
+        return;
+      }
+      i = (i + 1) & mask_;
+    }
+  }
+
+  void Erase(int64_t key) {
+    int64_t i = Hash(key);
+    for (;;) {
+      const int64_t k = keys_[i];
+      if (k == key) {
+        keys_[i] = kTomb;
+        ++tombs_;
+        --size_;
+        return;
+      }
+      if (k == kEmpty) return;
+      i = (i + 1) & mask_;
+    }
+  }
+
+  int64_t size() const { return size_; }
+
+ private:
+  int64_t Hash(int64_t key) const {
+    // splitmix64 finalizer
+    uint64_t x = (uint64_t)key + 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return (int64_t)((x ^ (x >> 31)) & (uint64_t)mask_);
+  }
+
+  void Rebuild() {
+    std::vector<int64_t> old_keys;
+    std::vector<int64_t> old_vals;
+    old_keys.swap(keys_);
+    old_vals.swap(vals_);
+    keys_.assign(cap_, kEmpty);
+    vals_.assign(cap_, 0);
+    tombs_ = 0;
+    size_ = 0;
+    for (int64_t i = 0; i < cap_; ++i) {
+      const int64_t k = old_keys[i];
+      if (k != kEmpty && k != kTomb) Insert(k, old_vals[i]);
+    }
+  }
+
+  int64_t max_entries_, cap_, mask_;
+  int64_t size_ = 0, tombs_ = 0;
+  std::vector<int64_t> keys_, vals_;
+};
+
 class LruCache {
  public:
-  explicit LruCache(int64_t capacity) : cap_(capacity) {
+  explicit LruCache(int64_t capacity) : cap_(capacity), map_(capacity) {
     prev_.resize(capacity, -1);
     next_.resize(capacity, -1);
     slot_key_.resize(capacity, -1);
@@ -42,20 +143,26 @@ class LruCache {
     // this an earlier miss can evict a later batch id, which then
     // reloads a stale row from the tier and silently loses its training
     // updates (the reference's known eviction-bug class, RELEASE.md:6).
+    // The found slot is memoized so the resolve pass only re-probes the
+    // map for ids that were absent (possibly inserted by an earlier
+    // duplicate miss in this same batch) — one hash probe per hit, not
+    // two (~97% of a cache-friendly batch).
+    scratch_.resize(n);
     for (int64_t i = 0; i < n; ++i) {
-      auto it = map_.find(ids[i]);
-      if (it != map_.end()) pin_stamp_resize(it->second);
+      const int64_t s = map_.Find(ids[i]);
+      if (s >= 0) pin_stamp_resize(s);
+      scratch_[i] = s;
     }
     // Pass 1: resolve slots; misses allocate (free list, then unpinned LRU).
     int64_t n_load = 0, n_evict = 0;
     for (int64_t i = 0; i < n; ++i) {
       const int64_t key = ids[i];
-      auto it = map_.find(key);
-      if (it != map_.end()) {
-        const int64_t s = it->second;
-        Touch(s);
-        pin_stamp_resize(s);
-        slots[i] = s;
+      int64_t s0 = scratch_[i];
+      if (s0 < 0) s0 = map_.Find(key);
+      if (s0 >= 0) {
+        Touch(s0);
+        pin_stamp_resize(s0);
+        slots[i] = s0;
         continue;
       }
       // miss: need a slot
@@ -69,9 +176,9 @@ class LruCache {
         evict_ids[n_evict] = slot_key_[s];
         evict_slots[n_evict] = s;
         ++n_evict;
-        map_.erase(slot_key_[s]);
+        map_.Erase(slot_key_[s]);
       }
-      map_.emplace(key, s);
+      map_.Insert(key, s);
       slot_key_[s] = key;
       PushFront(s);
       pin_stamp_resize(s);
@@ -125,10 +232,11 @@ class LruCache {
   int64_t cap_;
   int64_t head_ = -1, tail_ = -1;
   int64_t stamp_ = 0;
-  std::unordered_map<int64_t, int64_t> map_;
+  FlatMap map_;
   std::vector<int64_t> prev_, next_, slot_key_;
   std::vector<int64_t> pin_;
   std::vector<int64_t> free_;
+  std::vector<int64_t> scratch_;  // per-batch pass-0 slot memo
 };
 
 }  // namespace

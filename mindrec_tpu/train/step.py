@@ -737,6 +737,13 @@ def make_train_step(
                         tl = _pick_tile(
                             table.shape[1] // model_shards, dp=table.shape[0]
                         )
+                        if tl is None:
+                            raise ValueError(
+                                f"table {name}: no streaming tile divides "
+                                f"the per-shard column count "
+                                f"{table.shape[1]}//{model_shards}; raise "
+                                "the spec's row_alignment or the mesh"
+                            )
                         sh_tables.append(table)
                         sh_uqcols.append(uq_cols_g[name])
                         sh_offs.append(offs[name])

@@ -164,3 +164,27 @@ def test_cached_table_flush_all(tmp_path, prefer_native):
     )
     got_m = tab.state_tiers["m"].read(ids)
     np.testing.assert_allclose(got_m, 0.5)
+
+
+@pytest.mark.parametrize("lru", lru_impls(64), ids=lambda c: type(c).__name__)
+def test_lru_churn_fuzz(lru):
+    """Long eviction churn over a 10x-capacity id space: the native
+    flat map's tombstone accumulation + rebuild path must stay
+    consistent — every reported slot maps back to the right id, load +
+    evict lists reconcile exactly with a model of residency."""
+    rng = np.random.default_rng(7)
+    resident = {}  # id -> slot (model)
+    for step in range(400):
+        ids = rng.integers(0, 640, size=24)
+        slots, li, ls, ei, es = lru.lookup(ids)
+        # evictions leave, loads enter — in that order
+        for i, s in zip(ei.tolist(), es.tolist()):
+            assert resident.pop(i) == s, (step, i, s)
+        for i, s in zip(li.tolist(), ls.tolist()):
+            assert i not in resident
+            resident[i] = s
+        for i, s in zip(ids.tolist(), slots.tolist()):
+            assert resident[i] == s, (step, i, s)
+        # slot uniqueness invariant
+        vals = list(resident.values())
+        assert len(vals) == len(set(vals)) and len(vals) <= 64
