@@ -302,6 +302,8 @@ def bench_wide_deep_e2e(args, ctx=None, mode="host"):
     pipe = SparseInputPipeline(
         (data.get_batch(s) for s in range(total)),
         field_size=cfg.field_size, policy=policy, workers=1, depth=3,
+        prefetch_depth=getattr(args, "prefetch_depth", 2),
+        superbatch=getattr(args, "superbatch", 1) if mode == "wire" else 1,
         **pipe_kw,
     )
     it = iter(pipe)
@@ -354,10 +356,22 @@ def main():
         help="embedding-table storage: bf16 halves the table HBM streams "
         "(AUC-parity gate: tests/test_accuracy.py)",
     )
+    ap.add_argument("--superbatch", type=int, default=16,
+                    help="batches per host->device transfer on the wire "
+                    "e2e extra: one k-batch put amortizes the link's "
+                    "fixed ~80 ms round-trip toward the pure-bandwidth "
+                    "floor (the reference's 1000-rows-per-record trick "
+                    "applied to device staging)")
+    ap.add_argument("--prefetch-depth", type=int, default=8,
+                    help="device-staging queue depth for the e2e extras; "
+                    "deep queues amortize per-transfer latency on "
+                    "high-RTT links (measured on the dev tunnel: the "
+                    "~80 ms put round-trip, not bytes, walls the wire "
+                    "path at depth 2 — see benchmarks/PROFILE_r04.md)")
     ap.add_argument("--e2e-steps", type=int, default=12,
                     help="timed steps for the end-to-end pipeline extra "
                     "(each uploads ~11 MB through the dev tunnel)")
-    ap.add_argument("--e2e-wire-steps", type=int, default=20,
+    ap.add_argument("--e2e-wire-steps", type=int, default=48,
                     help="timed steps for the compact-wire e2e extra "
                     "(~3.2 MB/batch)")
     ap.add_argument("--skip-extras", action="store_true",

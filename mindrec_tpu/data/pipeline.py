@@ -153,6 +153,29 @@ class HostPrepPool:
             ex.shutdown(wait=False, cancel_futures=True)
 
 
+def _stack_groups(it, k: int):
+    """Group k consecutive batches into one stacked dict (axis-0 stack
+    per key) so the device staging pays ONE transfer round-trip per
+    group; the tail group may be shorter."""
+    group = []
+    for b in it:
+        group.append(b)
+        if len(group) == k:
+            yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+            group = []
+    if group:
+        yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+
+
+def _unstack_groups(it):
+    """Inverse of :func:`_stack_groups` after staging: slicing a
+    device-resident array is a device op — no further transfers."""
+    for sb in it:
+        n = next(iter(sb.values())).shape[0]
+        for i in range(n):
+            yield {key: v[i] for key, v in sb.items()}
+
+
 class SparseInputPipeline:
     """raw host batches -> prep pool -> (optional) device prefetch.
 
@@ -194,6 +217,15 @@ class SparseInputPipeline:
       decode: with ``wire``, ``False`` yields the staged PACKED batches
         (no device decode pass) — for consumers that fuse the decode
         into their own jitted step (benchmarks/wire_fused_probe.py).
+      superbatch: stage k batches per host->device transfer (stacked
+        on the host, sliced apart device-side — slicing a staged array
+        is a device op, not a transfer).  High-round-trip links pay a
+        large FIXED latency per transfer (measured ~80 ms on the dev
+        tunnel regardless of size, benchmarks/PROFILE_r04.md), so one
+        k-batch put amortizes it toward the pure-bandwidth floor — the
+        same economics as the reference's 1000-samples-per-record
+        packing (``process_data.py:259-264``).  Consumers see ordinary
+        per-batch dicts; the tail group may be smaller.
     """
 
     def __init__(self, source, field_size: int, policy=None,
@@ -201,7 +233,7 @@ class SparseInputPipeline:
                  sharding=None, minimal: bool = True, on_grow=None,
                  prefetch_depth: int = 2, groups: dict | None = None,
                  wire=None, host_prep: bool = True, audit_every: int = 16,
-                 decode: bool = True):
+                 decode: bool = True, superbatch: int = 1):
         self.source = source
         self.field_size = field_size
         self.policy = policy
@@ -215,6 +247,7 @@ class SparseInputPipeline:
         self.wire = wire
         self.host_prep = host_prep
         self.audit_every = audit_every
+        self.superbatch = int(superbatch)
         if not host_prep and groups is not None:
             raise ValueError("device-prep mode is single-id-group only")
         if wire is not None and sharding is not None and wire.arena:
@@ -311,9 +344,14 @@ class SparseInputPipeline:
     def __iter__(self):
         prep = self._prep_supervised if self.policy is not None else self._prep
         pool = HostPrepPool(self.source, prep, self.workers, self.depth)
-        it = iter(pool) if not self.device else iter(PrefetchToDevice(
-            pool, depth=self.prefetch_depth, sharding=self.sharding
+        src = iter(pool)
+        if self.superbatch > 1:
+            src = _stack_groups(src, self.superbatch)
+        it = src if not self.device else iter(PrefetchToDevice(
+            src, depth=self.prefetch_depth, sharding=self.sharding
         ))
+        if self.superbatch > 1:
+            it = _unstack_groups(it)
         if self._decode is None:
             return it
         return (self._decode(b) for b in it)

@@ -49,9 +49,6 @@ unique indexing — so the fail-loud host audit is load-bearing.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P

@@ -221,3 +221,22 @@ def test_recmodel_pipeline_multigroup():
     state = m.train(epoch=1, train_dataset=[batch() for _ in range(3)],
                     dataset_sink_mode=True)
     assert int(state.step) == 3
+
+
+def test_superbatch_yields_identical_batches():
+    """superbatch=k (one device transfer per k batches, sliced apart
+    device-side) must be invisible to the consumer: same batches, same
+    order, tail group included."""
+    batches = _batches(7, bs=32, fields=4, vocab=500)
+    plain = list(SparseInputPipeline(
+        iter(batches), field_size=4, policy=None, workers=1, device=True,
+    ))
+    sup = list(SparseInputPipeline(
+        iter(batches), field_size=4, policy=None, workers=1, device=True,
+        superbatch=3,  # 3+3+1: exercises the short tail group
+    ))
+    assert len(plain) == len(sup) == 7
+    for a, b in zip(plain, sup):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
