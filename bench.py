@@ -299,11 +299,52 @@ def bench_wide_deep_e2e(args, ctx=None, mode="host"):
                 cfg.vocab_size, cfg.batch_size, cfg.field_size
             )
         pipe_kw = dict(host_prep=False, wire=wire)
+    sb = getattr(args, "superbatch", 1) if mode == "wire" else 1
+    if sb > 1:
+        # fused superbatch driver: k packed batches per device transfer
+        # (amortizes the link's fixed per-put round trip) and ONE
+        # dispatch per batch — the per-batch slice + decode + step run
+        # inside one jit.  Full supergroups only: a short tail group
+        # changes the supergroup shape and would retrace mid-window.
+        from mindrec_tpu.train.step import make_train_step as _mts
+
+        warmup = sb
+        steps = max(sb, steps // sb * sb)
+        total = warmup + steps
+        data = SyntheticCriteo(cfg.batch_size, cfg.field_size,
+                               cfg.vocab_size, steps=total, seed=0,
+                               fields=args.fields)
+        raw_step = _mts(model, opt_w, opt_d, jit=False,
+                        unique_bucket=policy.bucket)
+        decode = wire.decoder(jit=False)
+
+        def fused_fn(st, sup, i):
+            b = {key: v[i] for key, v in sup.items()}
+            return raw_step(st, decode(b))
+
+        fused = jax.jit(fused_fn, donate_argnums=(0,))
+        pipe = SparseInputPipeline(
+            (data.get_batch(s) for s in range(total)),
+            field_size=cfg.field_size, policy=policy, workers=1, depth=3,
+            prefetch_depth=getattr(args, "prefetch_depth", 2),
+            superbatch=sb, unstack=False, decode=False, **pipe_kw,
+        )
+        n, t0, losses = 0, None, None
+        for sup in pipe:
+            kk = next(iter(sup.values())).shape[0]
+            for i in range(kk):
+                state, losses = fused(state, sup, np.int32(i))
+                n += 1
+                if n == warmup:
+                    float(losses[1])
+                    t0 = time.perf_counter()
+        assert np.isfinite(float(losses[1]))
+        dt = time.perf_counter() - t0
+        return (n - warmup) * cfg.batch_size / dt
     pipe = SparseInputPipeline(
         (data.get_batch(s) for s in range(total)),
         field_size=cfg.field_size, policy=policy, workers=1, depth=3,
         prefetch_depth=getattr(args, "prefetch_depth", 2),
-        superbatch=getattr(args, "superbatch", 1) if mode == "wire" else 1,
         **pipe_kw,
     )
     it = iter(pipe)
@@ -442,12 +483,14 @@ def main():
             "metric": "wide_deep_e2e_wire_samples_per_sec_1chip",
             "value": round(e2e_wire_sps, 1), "unit": "samples/s",
             "vs_baseline": round(e2e_wire_sps / WD_BASELINE, 3),
-            "note": "transfer-bound recipe (data/wire.py): schema-aware "
-                    "arena-packed raw batches (per-field id widths + "
-                    "dense-only bf16 wts + u8 label, ~1.4 MB/batch vs "
-                    "12.7, ONE device_put/batch), sort metadata derived "
-                    "on device; wire.choose_prep picks host vs device "
-                    "prep from the measured link bandwidth",
+            "note": "compact-wire recipe (data/wire.py): schema-aware "
+                    "arena-packed raw batches (~1.4 MB/batch vs 12.7) "
+                    "staged superbatch-16 (ONE device transfer per 16 "
+                    "batches amortizes the dev tunnel's FIXED ~80 ms/put "
+                    "round trip, which latency-walled per-batch staging "
+                    "at ANY queue depth) + fused driver (per-batch "
+                    "slice+decode+step in ONE jitted dispatch); sort "
+                    "metadata derived on device — PROFILE_r04.md SS4",
         })
     if not args.skip_extras and not args.dense and not args.skip_multitable:
         # Outbrain multitable flagship on the multi-group streamed path

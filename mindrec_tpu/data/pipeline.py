@@ -217,6 +217,10 @@ class SparseInputPipeline:
       decode: with ``wire``, ``False`` yields the staged PACKED batches
         (no device decode pass) — for consumers that fuse the decode
         into their own jitted step (benchmarks/wire_fused_probe.py).
+      unstack: with ``superbatch``>1 and ``decode=False``, ``False``
+        yields the staged [k, ...] supergroups directly — for consumers
+        that fuse the per-batch slice + decode into their own jitted
+        step (ONE dispatch per batch; see bench.py's wire extra).
       superbatch: stage k batches per host->device transfer (stacked
         on the host, sliced apart device-side — slicing a staged array
         is a device op, not a transfer).  High-round-trip links pay a
@@ -233,7 +237,8 @@ class SparseInputPipeline:
                  sharding=None, minimal: bool = True, on_grow=None,
                  prefetch_depth: int = 2, groups: dict | None = None,
                  wire=None, host_prep: bool = True, audit_every: int = 16,
-                 decode: bool = True, superbatch: int = 1):
+                 decode: bool = True, superbatch: int = 1,
+                 unstack: bool = True):
         self.source = source
         self.field_size = field_size
         self.policy = policy
@@ -248,6 +253,12 @@ class SparseInputPipeline:
         self.host_prep = host_prep
         self.audit_every = audit_every
         self.superbatch = int(superbatch)
+        self.unstack = unstack
+        if not unstack and (superbatch <= 1 or decode):
+            raise ValueError(
+                "unstack=False yields staged supergroups for fused "
+                "consumers; it requires superbatch>1 and decode=False"
+            )
         if not host_prep and groups is not None:
             raise ValueError("device-prep mode is single-id-group only")
         if wire is not None and sharding is not None and wire.arena:
@@ -350,7 +361,7 @@ class SparseInputPipeline:
         it = src if not self.device else iter(PrefetchToDevice(
             src, depth=self.prefetch_depth, sharding=self.sharding
         ))
-        if self.superbatch > 1:
+        if self.superbatch > 1 and self.unstack:
             it = _unstack_groups(it)
         if self._decode is None:
             return it
