@@ -527,6 +527,18 @@ def main():
         )
         bc = _ilu.module_from_spec(spec_c)
         spec_c.loader.exec_module(bc)
+        # the cache extra is host-CPU/allocator-bound: release what the
+        # earlier extras accumulated first (helps, does not fully undo
+        # in-process pressure — see the note + PROFILE_r04.md SS1)
+        import gc
+
+        gc.collect()
+        try:
+            import ctypes as _ct
+
+            _ct.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
         try:
             c = bc.run(steps=12, warmup=6, verbose=False)
             extras.append({
@@ -541,11 +553,14 @@ def main():
                 "note": "virtual vocab 100M through a 4.6M-row HBM cache "
                         "(reference TB knob) + 1GB-RAM-capped SSD-spilling "
                         "host tier, zipf id traffic; HOST-swap-bound: "
-                        "measured 56-63k on a quiet host "
-                        "(benchmarks/PROFILE_r04.md), degrades with "
-                        "concurrent host CPU load; swap rows also cross "
-                        "the dev tunnel (~60 MB/s) — PCIe hosts pay "
-                        "~100x less per load",
+                        "measured 56-63k samples/s standalone on a quiet "
+                        "host (benchmarks/PROFILE_r04.md SS1) — running "
+                        "LAST inside this long bench process measures "
+                        "2-4x lower (accumulated process/allocator "
+                        "pressure on the host-side swap path; same steps, "
+                        "same hit rates); swap rows also cross the dev "
+                        "tunnel (~60 MB/s) — PCIe hosts pay ~100x less "
+                        "per load",
             })
         except Exception as e:  # pragma: no cover — never lose the
             # whole bench contract to the TB extra
