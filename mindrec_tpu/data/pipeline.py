@@ -157,14 +157,31 @@ def _stack_groups(it, k: int):
     """Group k consecutive batches into one stacked dict (axis-0 stack
     per key) so the device staging pays ONE transfer round-trip per
     group; the tail group may be shorter."""
+    def stack(group):
+        try:
+            return {
+                key: np.stack([g[key] for g in group]) for key in group[0]
+            }
+        except ValueError as e:
+            # a mid-group AdaptiveBucket regrow changes the uq arrays'
+            # length; surface the cause instead of np.stack's opaque
+            # shape error (flushing the short pre-grow group would drop
+            # the size guarantee consumers rely on)
+            raise ValueError(
+                "superbatch group has ragged per-key shapes — most "
+                "likely the unique bucket grew mid-group (AdaptiveBucket "
+                "on_grow); use a bucket with enough headroom to cover "
+                f"the stream, or superbatch=1: {e}"
+            ) from e
+
     group = []
     for b in it:
         group.append(b)
         if len(group) == k:
-            yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+            yield stack(group)
             group = []
     if group:
-        yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+        yield stack(group)
 
 
 def _unstack_groups(it):
@@ -261,6 +278,16 @@ class SparseInputPipeline:
             )
         if not host_prep and groups is not None:
             raise ValueError("device-prep mode is single-id-group only")
+        if self.superbatch > 1 and sharding is not None:
+            # staged supergroups are [k, B, ...]: a per-batch sharding
+            # (e.g. P('data') on the batch axis) would land on the
+            # group axis instead — reject until the staged layout
+            # carries shardings (mirrors the wire+sharding guard)
+            raise ValueError(
+                "superbatch>1 stages stacked [k, B, ...] arrays; a "
+                "per-batch sharding would shard the group axis — use "
+                "superbatch=1 with sharding, or shard after unstacking"
+            )
         if wire is not None and sharding is not None and wire.arena:
             raise ValueError(
                 "the arena wire transport stages one fused buffer and "

@@ -41,8 +41,19 @@ class FlatMap {
   static constexpr int64_t kEmpty = INT64_MIN;
   static constexpr int64_t kTomb = INT64_MIN + 1;
 
+  // Key-domain contract: any int64 feature id is a valid key.  The two
+  // sentinel VALUES (kEmpty/kTomb) cannot live inside the probe table,
+  // so keys equal to them are held in two exact side slots instead of
+  // silently corrupting the map (negative ids do occur, e.g. in the
+  // tfrecord golden fixtures).
+  static int SideIdx(int64_t key) {
+    return key == kEmpty ? 0 : (key == kTomb ? 1 : -1);
+  }
+
   // -1 if absent
   int64_t Find(int64_t key) const {
+    const int s = SideIdx(key);
+    if (s >= 0) return side_val_[s];
     int64_t i = Hash(key);
     for (;;) {
       const int64_t k = keys_[i];
@@ -53,19 +64,34 @@ class FlatMap {
   }
 
   void Insert(int64_t key, int64_t val) {
+    const int s = SideIdx(key);
+    if (s >= 0) {
+      if (side_val_[s] < 0) ++size_;
+      side_val_[s] = val;
+      return;
+    }
     if (tombs_ > max_entries_ / 2) Rebuild();
     int64_t i = Hash(key);
+    int64_t first_tomb = -1;
+    // probe to the first kEmpty looking for the key (a tombstone may
+    // hide a live duplicate later in the chain); reuse the first
+    // tombstone seen only once the key is known absent
     for (;;) {
       const int64_t k = keys_[i];
-      if (k == kEmpty || k == kTomb) {
-        if (k == kTomb) --tombs_;
+      if (k == key) {  // overwrite (not used by the LRU, kept for safety)
+        vals_[i] = val;
+        return;
+      }
+      if (k == kTomb) {
+        if (first_tomb < 0) first_tomb = i;
+      } else if (k == kEmpty) {
+        if (first_tomb >= 0) {
+          i = first_tomb;
+          --tombs_;
+        }
         keys_[i] = key;
         vals_[i] = val;
         ++size_;
-        return;
-      }
-      if (k == key) {  // overwrite (not used by the LRU, kept for safety)
-        vals_[i] = val;
         return;
       }
       i = (i + 1) & mask_;
@@ -73,6 +99,12 @@ class FlatMap {
   }
 
   void Erase(int64_t key) {
+    const int s = SideIdx(key);
+    if (s >= 0) {
+      if (side_val_[s] >= 0) --size_;
+      side_val_[s] = -1;
+      return;
+    }
     int64_t i = Hash(key);
     for (;;) {
       const int64_t k = keys_[i];
@@ -115,6 +147,7 @@ class FlatMap {
 
   int64_t max_entries_, cap_, mask_;
   int64_t size_ = 0, tombs_ = 0;
+  int64_t side_val_[2] = {-1, -1};  // exact slots for sentinel-valued keys
   std::vector<int64_t> keys_, vals_;
 };
 

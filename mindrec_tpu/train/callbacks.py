@@ -375,13 +375,36 @@ class EvictionCallback(Callback):
     """
 
     def __init__(self, adapter, tables, every_steps: int = 100,
-                 export_path=None):
+                 export_path=None, async_export: bool = True):
+        if int(every_steps) < 1:
+            raise ValueError(
+                f"every_steps must be >= 1, got {every_steps}"
+            )
         self.adapter = adapter
         self.tables = tables
         self.every = int(every_steps)
         self.export_path = export_path
         self.evicted_total = 0
         self.exports = 0
+        # the incremental export can be large; write it off the training
+        # thread (same single-writer pattern as AsyncCheckpointer —
+        # exports are serialized through a 1-thread pool, so a slow disk
+        # back-pressures the NEXT export, not every step)
+        self._pool = None
+        self._pending = None
+        if export_path is not None and async_export:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mrec-evict-export"
+            )
+
+    def _write(self, blob):
+        import os
+
+        tmp = str(self.export_path) + ".tmp.npz"
+        np.savez(tmp, **blob)
+        os.replace(tmp, self.export_path)
 
     def on_train_step_end(self, ctx: RunContext):
         if ctx.cur_step_num % self.every != 0:
@@ -390,10 +413,16 @@ class EvictionCallback(Callback):
         self.evicted_total += int(n)
         ctx.train_state = state
         if self.export_path is not None:
-            import os
-
             blob = self.adapter.export_tables(state.params, self.tables)
-            tmp = str(self.export_path) + ".tmp.npz"
-            np.savez(tmp, **blob)
-            os.replace(tmp, self.export_path)
+            if self._pool is not None:
+                if self._pending is not None:
+                    self._pending.result()  # surface write errors in order
+                self._pending = self._pool.submit(self._write, blob)
+            else:
+                self._write(blob)
             self.exports += 1
+
+    def on_train_end(self, ctx: RunContext):
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None

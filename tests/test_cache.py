@@ -188,3 +188,22 @@ def test_lru_churn_fuzz(lru):
         # slot uniqueness invariant
         vals = list(resident.values())
         assert len(vals) == len(set(vals)) and len(vals) <= 64
+
+
+@pytest.mark.parametrize("lru", lru_impls(4), ids=lambda c: type(c).__name__)
+def test_lru_sentinel_valued_keys(lru):
+    """INT64_MIN / INT64_MIN+1 collide with the native FlatMap's
+    empty/tombstone sentinels; they must behave like any other id
+    (side-slot handling in native/cache.cc FlatMap)."""
+    lo = np.iinfo(np.int64).min
+    ids = np.array([lo, lo + 1, 7], np.int64)
+    slots, *_ = lru.lookup(ids)
+    assert len(set(slots.tolist())) == 3
+    slots2, load_ids2, *_ = lru.lookup(ids)
+    np.testing.assert_array_equal(slots, slots2)  # hits, same slots
+    assert load_ids2.size == 0
+    # evict them (capacity 4): tombstone path, then re-admit
+    slots3, *_ = lru.lookup(np.array([100, 101, 102, 103], np.int64))
+    slots4, load_ids4, *_ = lru.lookup(ids)
+    assert load_ids4.size == 3  # were evicted, re-loaded
+    assert len(set(slots4.tolist())) == 3
