@@ -174,10 +174,17 @@ if __name__ == "__main__":
     ap.add_argument("--zipf-a", type=float, default=1.3)
     ap.add_argument("--emb-dim", type=int, default=16)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--quiet", action="store_true",
+                    help="print ONLY the final JSON line (subprocess "
+                    "contract: bench.py runs this extra in a FRESH "
+                    "process so the recorded number is the quiet-host "
+                    "truth, not the parent bench's allocator pressure)")
     a = ap.parse_args()
     if a.platform:
         import jax
 
         jax.config.update("jax_platforms", a.platform)
-    run(batch_size=a.batch_size, steps=a.steps, warmup=a.warmup,
-        zipf_a=a.zipf_a, emb_dim=a.emb_dim)
+    out = run(batch_size=a.batch_size, steps=a.steps, warmup=a.warmup,
+              zipf_a=a.zipf_a, emb_dim=a.emb_dim, verbose=not a.quiet)
+    if a.quiet:
+        print(json.dumps(out), flush=True)

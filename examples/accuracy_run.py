@@ -58,6 +58,15 @@ def main():
                     "host prep pool + device staging + host-prepped "
                     "sort/unique metadata) instead of direct iteration")
     ap.add_argument("--pipeline-rows", type=int, default=200_000)
+    ap.add_argument("--prepare-only", action="store_true",
+                    help="with --pipeline: generate the TSV and run the "
+                    "preprocess pass, then exit (host-only; lets the "
+                    "data phase run while the chip is busy)")
+    ap.add_argument("--eval-every-steps", type=int, default=0,
+                    help="additionally eval every N train steps (the "
+                    "fresh-stream protocol runs ONE pass over a large "
+                    "packed dataset with --epochs 1, so per-epoch evals "
+                    "alone would give a single point)")
     ap.add_argument("--work-dir", default="./accuracy_data")
     ap.add_argument("--log", default="accuracy_run.log")
     ap.add_argument("--platform", default=None)
@@ -79,6 +88,22 @@ def main():
     )
 
     gen = RealisticCriteo(vocab_scale=args.vocab_scale)
+    if args.prepare_only:
+        from mindrec_tpu.data.preprocess import preprocess
+
+        work = Path(args.work_dir)
+        if (work / "packed" / "train").exists():
+            print(json.dumps({"event": "prepare_skip"}), flush=True)
+            return
+        t0 = time.time()
+        files = write_tsv(gen, work / "raw", args.pipeline_rows)
+        print(json.dumps({"event": "generate_tsv", "rows": args.pipeline_rows,
+                          "elapsed_s": round(time.time() - t0, 1)}), flush=True)
+        preprocess(files, str(work / "packed"), workers=8,
+                   line_per_sample=100)
+        print(json.dumps({"event": "preprocess_done",
+                          "elapsed_s": round(time.time() - t0, 1)}), flush=True)
+        return
     bayes = gen.bayes_auc(100_000)
     log = open(args.log, "a")
 
@@ -207,9 +232,17 @@ def main():
         else:
             it = train_ds() if args.pipeline else train_batches
         ld = None
+        ep_step = 0
         for b in it:
             state, (lw, ld) = step(state, b)
             seen += args.batch_size
+            ep_step += 1
+            if args.eval_every_steps and ep_step % args.eval_every_steps == 0:
+                auc = run_eval()
+                emit({"event": "eval", "epoch": ep, "step": ep_step,
+                      "samples": seen, "loss": round(float(ld), 4),
+                      "auc": round(auc, 4), "bayes_auc": round(bayes, 4),
+                      "elapsed_s": round(time.time() - t0, 1)})
         if ep % args.eval_every == 0 or ep == args.epochs:
             auc = run_eval()
             emit({"event": "eval", "epoch": ep, "samples": seen,
