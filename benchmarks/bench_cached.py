@@ -46,12 +46,17 @@ def make_ids(rng, batch, fields, a=1.3):
 
 
 def run(batch_size=16000, field_size=39, emb_dim=16, layers=(1024,) * 7,
-        steps=24, warmup=8, zipf_a=1.3, spill_dir=None, verbose=True):
+        steps=24, warmup=8, zipf_a=1.3, spill_dir=None, verbose=True,
+        pipelined=True):
+    """``pipelined``: drive through :class:`AsyncCachedTrainer` — the
+    host LRU/tier chain runs on a worker thread under the device step
+    (bit-identical host-op order; r5 concurrency work).  ``False``
+    reproduces the r4 serial-protocol loop for comparison."""
     import jax
 
     from mindrec_tpu.models.wide_deep import WideDeepConfig, WideDeepModel
     from mindrec_tpu.train import optim
-    from mindrec_tpu.train.cached import CachedTrainingAdapter
+    from mindrec_tpu.train.cached import AsyncCachedTrainer, CachedTrainingAdapter
     from mindrec_tpu.train.step import init_train_state, make_train_step
 
     cfg = WideDeepConfig(
@@ -133,16 +138,55 @@ def run(batch_size=16000, field_size=39, emb_dim=16, layers=(1024,) * 7,
 
     state_box = [state]
     last_losses = [None]
-    for i in range(warmup):
-        lf = one(batches[i], uq_counts[i], record=False)
-        if verbose:
-            print(f"warmup {i}: loss={lf:.4f}", flush=True)
-    t0 = time.perf_counter()
-    for i in range(warmup, total):
-        one(batches[i], uq_counts[i], record=True, fence=False)
-    assert np.isfinite(float(last_losses[0][1]))  # drain the device queue
-    dt = time.perf_counter() - t0
-    sps = steps * batch_size / dt
+    if pipelined:
+        load_counts = []
+        orig_prepare = adapter.prepare
+
+        def rec_prepare(b):
+            p = orig_prepare(b)
+            load_counts.append(int(p["load_ids"].shape[0]))
+            return p
+
+        adapter.prepare = rec_prepare
+        trainer = AsyncCachedTrainer(adapter, step, state)
+        for i in range(warmup):
+            losses = trainer.step(batches[i])
+            if verbose and losses is not None:
+                print(f"warmup {i}: loss={float(losses[1]):.4f}", flush=True)
+        # fence the pipeline before timing (drain pending device work)
+        if trainer.losses is not None:
+            float(trainer.losses[1])
+        t0 = time.perf_counter()
+        for i in range(warmup, total):
+            trainer.step(batches[i])
+        state_box[0] = trainer.finish()
+        assert np.isfinite(float(trainer.losses[1]))
+        dt = time.perf_counter() - t0
+        sps = steps * batch_size / dt
+        # per-phase host stats live on the worker thread; record the
+        # hit/load accounting from the recorded prepare calls
+        timed_loads = load_counts[warmup:total]
+        timed_uq = uq_counts[warmup:total]
+        host_ms = host_ms or [0.0]
+        prep_ms = prep_ms or [0.0]
+        wb_ms = wb_ms or [0.0]
+        dev_ms = dev_ms or [0.0]
+        hits = [1.0 - l / u for l, u in zip(timed_loads, timed_uq)] or [0.0]
+        pos_hits = [
+            1.0 - l / (batch_size * field_size) for l in timed_loads
+        ] or [0.0]
+        loads = timed_loads or [0]
+    else:
+        for i in range(warmup):
+            lf = one(batches[i], uq_counts[i], record=False)
+            if verbose:
+                print(f"warmup {i}: loss={lf:.4f}", flush=True)
+        t0 = time.perf_counter()
+        for i in range(warmup, total):
+            one(batches[i], uq_counts[i], record=True, fence=False)
+        assert np.isfinite(float(last_losses[0][1]))  # drain device queue
+        dt = time.perf_counter() - t0
+        sps = steps * batch_size / dt
 
     if own_tmp is not None:
         own_tmp.cleanup()
@@ -174,6 +218,9 @@ if __name__ == "__main__":
     ap.add_argument("--zipf-a", type=float, default=1.3)
     ap.add_argument("--emb-dim", type=int, default=16)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--serial", action="store_true",
+                    help="r4 serial protocol loop (prepare/writeback on "
+                    "the main thread) instead of AsyncCachedTrainer")
     ap.add_argument("--quiet", action="store_true",
                     help="print ONLY the final JSON line (subprocess "
                     "contract: bench.py runs this extra in a FRESH "
@@ -185,6 +232,7 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", a.platform)
     out = run(batch_size=a.batch_size, steps=a.steps, warmup=a.warmup,
-              zipf_a=a.zipf_a, emb_dim=a.emb_dim, verbose=not a.quiet)
+              zipf_a=a.zipf_a, emb_dim=a.emb_dim, verbose=not a.quiet,
+              pipelined=not a.serial)
     if a.quiet:
         print(json.dumps(out), flush=True)

@@ -153,11 +153,32 @@ class HostPrepPool:
             ex.shutdown(wait=False, cancel_futures=True)
 
 
-def _stack_groups(it, k: int):
+def _stack_groups(it, k: int, pad_tail: bool = False):
     """Group k consecutive batches into one stacked dict (axis-0 stack
     per key) so the device staging pays ONE transfer round-trip per
-    group; the tail group may be shorter."""
+    group; the tail group may be shorter.
+
+    ``pad_tail``: pad a short tail group to k by repeating its last
+    batch and attach the REAL batch count under ``"__sb_n__"`` (0-d
+    int32).  Fused consumers (one jitted slice+decode+step over the
+    [k, ...] supergroup) would otherwise re-trace on the tail's changed
+    operand shape — ~5 min of mid-stream remote compile on this rig
+    (PROFILE_r04.md §4 caveat); consumers must run only the first
+    ``__sb_n__`` slices."""
     def stack(group):
+        if pad_tail:
+            # __sb_n__ rides EVERY group (not just padded ones) so the
+            # staged pytree structure — and therefore the fused
+            # consumer's compiled trace — is identical for full and
+            # tail groups
+            real = len(group)
+            group = group + [group[-1]] * (k - real)
+            out = stack_keys(group)
+            out["__sb_n__"] = np.int32(real)
+            return out
+        return stack_keys(group)
+
+    def stack_keys(group):
         try:
             return {
                 key: np.stack([g[key] for g in group]) for key in group[0]
@@ -188,7 +209,11 @@ def _unstack_groups(it):
     """Inverse of :func:`_stack_groups` after staging: slicing a
     device-resident array is a device op — no further transfers."""
     for sb in it:
-        n = next(iter(sb.values())).shape[0]
+        if "__sb_n__" in sb:
+            sb = dict(sb)
+            n = int(sb.pop("__sb_n__"))
+        else:
+            n = next(iter(sb.values())).shape[0]
         for i in range(n):
             yield {key: v[i] for key, v in sb.items()}
 
@@ -255,7 +280,7 @@ class SparseInputPipeline:
                  prefetch_depth: int = 2, groups: dict | None = None,
                  wire=None, host_prep: bool = True, audit_every: int = 16,
                  decode: bool = True, superbatch: int = 1,
-                 unstack: bool = True):
+                 unstack: bool = True, pad_tail: bool = False):
         self.source = source
         self.field_size = field_size
         self.policy = policy
@@ -271,6 +296,7 @@ class SparseInputPipeline:
         self.audit_every = audit_every
         self.superbatch = int(superbatch)
         self.unstack = unstack
+        self.pad_tail = bool(pad_tail)
         if not unstack and (superbatch <= 1 or decode):
             raise ValueError(
                 "unstack=False yields staged supergroups for fused "
@@ -384,7 +410,7 @@ class SparseInputPipeline:
         pool = HostPrepPool(self.source, prep, self.workers, self.depth)
         src = iter(pool)
         if self.superbatch > 1:
-            src = _stack_groups(src, self.superbatch)
+            src = _stack_groups(src, self.superbatch, self.pad_tail)
         it = src if not self.device else iter(PrefetchToDevice(
             src, depth=self.prefetch_depth, sharding=self.sharding
         ))

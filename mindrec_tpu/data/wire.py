@@ -465,6 +465,37 @@ def measure_bandwidth(nbytes: int = 8 << 20, device=None, warm: int = 1,
     return reps * nbytes / max(dt, 1e-9)
 
 
+def measure_link(device=None, small: int = 256 << 10, big: int = 8 << 20,
+                 reps: int = 2) -> tuple[float, float]:
+    """Measure the host->device link as (fixed_ms_per_put, bytes_per_s).
+
+    Two fenced ``device_put`` probes at different sizes solve the
+    affine cost model ``t = fixed + size / bw`` that high-round-trip
+    links follow (the dev tunnel charges ~80 ms per put regardless of
+    size below ~4 MB — benchmarks/PROFILE_r04.md §4; PCIe hosts measure
+    fixed < 1 ms).  Drives the auto input recipe
+    (:meth:`mindrec_tpu.train.rec_model.RecModel` ``input_recipe``)."""
+    import time
+
+    import jax
+
+    dev = device or jax.devices()[0]
+    buf = np.random.default_rng(0).integers(0, 255, size=big, dtype=np.uint8)
+    int(jax.device_put(buf[: 1 << 16], dev)[-1])  # warm the path
+
+    def probe(n):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            int(jax.device_put(buf[:n], dev)[-1])
+        return (time.perf_counter() - t0) / reps
+
+    t1 = probe(small)
+    t2 = probe(big)
+    bw = (big - small) / max(t2 - t1, 1e-6)
+    fixed_ms = max(0.0, (t1 - small / bw) * 1e3)
+    return fixed_ms, bw
+
+
 def choose_prep(host_step_ms: float, device_step_ms: float, prep_ms: float,
                 host_payload: int, device_payload: int, bandwidth: float,
                 workers: int = 1) -> str:

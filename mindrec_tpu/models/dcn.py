@@ -67,6 +67,7 @@ class DCNModel:
             sparse=c.sparse,
             init_args=c.init_args,
             slice_mode=c.table_slice_mode,
+            layout=getattr(c, "table_layout", "auto"),
         )
         self.lookup = EmbeddingLookup(self.emb_spec, mesh)
         self.input_size = c.field_size * c.emb_dim

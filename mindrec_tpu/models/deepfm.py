@@ -55,6 +55,7 @@ class DeepFMConfig:
     epsilon: float = 5e-8
     init_args: tuple = (-0.01, 0.01)
     table_dtype: str = "float32"  # bfloat16 halves table HBM streams
+    table_layout: str = "auto"  # auto | row_packed | feature_major
     table_slice_mode: str = "none"  # shard fm_v over the "model" axis
 
 
@@ -70,10 +71,12 @@ class DeepFMModel:
         self.w_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size, emb_dim=1, name="fm_w", sparse=c.sparse,
             init_args=c.init_args, dtype=c.table_dtype,
+            layout=c.table_layout,
         )
         self.v_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size, emb_dim=c.emb_dim, name="fm_v",
             sparse=c.sparse, init_args=c.init_args, dtype=c.table_dtype,
+            layout=c.table_layout,
             slice_mode=c.table_slice_mode,
         )
         self.w_lookup = EmbeddingLookup(self.w_spec, mesh)

@@ -92,7 +92,8 @@ class MultiTableWideDeepModel:
         mk = lambda name, vocab, dim, slice_mode="none": EmbeddingLookup(
             EmbeddingTableSpec(vocab_size=vocab, emb_dim=dim, name=name,
                                init_args=c.init_args, sparse=c.sparse,
-                               slice_mode=slice_mode),
+                               slice_mode=slice_mode,
+                               layout=getattr(c, "table_layout", "auto")),
             mesh,
         )
         self.emb128 = mk("emb128_embedding", c.emb_128_size, 128,

@@ -56,6 +56,9 @@ class WideDeepConfig:
     loss_scale: float = 1024.0
     init_args: tuple = (-0.01, 0.01)
     table_dtype: str = "float32"  # bfloat16 halves table HBM streams
+    # storage layout for sparse tables (ops/embedding.py): "auto" packs
+    # unsharded device tables into 512-byte rows (fastest gather shape)
+    table_layout: str = "auto"  # auto | row_packed | feature_major
 
     @property
     def no_l2loss(self) -> bool:
@@ -101,6 +104,7 @@ class WideDeepModel:
             target=target,
             init_args=c.init_args,
             dtype=c.table_dtype,
+            layout=c.table_layout,
         )
         self.deep_spec = EmbeddingTableSpec(
             vocab_size=c.vocab_size,
@@ -111,6 +115,7 @@ class WideDeepModel:
             target=target,
             init_args=c.init_args,
             dtype=c.table_dtype,
+            layout=c.table_layout,
         )
         self.wide_lookup = EmbeddingLookup(self.wide_spec, mesh)
         self.deep_lookup = EmbeddingLookup(self.deep_spec, mesh)

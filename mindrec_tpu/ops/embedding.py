@@ -90,6 +90,23 @@ class EmbeddingTableSpec:
     # tests/test_accuracy.py::test_bf16_table_matches_f32_auc
     dtype: str = "float32"  # float32 | bfloat16
 
+    # Storage layout for sparse tables:
+    # * "row_packed" — [rows, 128] with ``pack`` logical rows per
+    #   512-byte storage row.  The forward gather is then ONE native XLA
+    #   row gather touching only ~U sectors (the fastest gather shape on
+    #   this hardware — benchmarks/sweep_gather_r5.py measured the
+    #   packed gather+extract at 2.2 ms vs 4.7 ms for streaming the full
+    #   [Dp, Vc] table at the W&D bench shape), and the optimizer
+    #   streams row tiles with full 128-lane MXU utilization
+    #   (ops/pallas/stream_update_rows.py).
+    # * "feature_major" — [Dp, Vc] with the vocab axis minor-most; the
+    #   layout the row/column-sliced sharded streaming path composes
+    #   with (ops/sharded_stream.py) and the narrow layout XLA prefers
+    #   for un-packed tables.
+    # * "auto" — row_packed for unsharded device tables, feature_major
+    #   for sharded ones.
+    layout: str = "auto"  # auto | row_packed | feature_major
+
     # 8192 keeps tables divisible by any mesh axis and by the streamed
     # Pallas kernels' tile sizes even after the fold divides the vocab
     # axis by up to 8
@@ -111,8 +128,39 @@ class EmbeddingTableSpec:
         return self.vocab_size
 
     @property
+    def row_packed(self) -> bool:
+        """512-byte packed-row storage (see ``layout``)."""
+        if not self.sparse or self.emb_dim > 128:
+            return False
+        if self.layout == "row_packed":
+            return True
+        if self.layout == "feature_major":
+            return False
+        # auto: the packed gather needs the whole row local; sharded and
+        # host-resident tables keep the feature-major streaming layout
+        return self.slice_mode == "none" and self.target == "device"
+
+    @property
     def feature_major(self) -> bool:
-        return self.sparse
+        return self.sparse and not self.row_packed
+
+    @property
+    def pack(self) -> int:
+        """Logical rows per 128-lane storage row (row_packed layout);
+        power of two so alignment padding always divides."""
+        if not self.row_packed:
+            return 1
+        p = 1
+        while p * 2 * self.emb_dim <= 128 and p * 2 <= 128:
+            p *= 2
+        return p
+
+    @property
+    def packed_rows(self) -> int:
+        """Storage row count of the row_packed layout, padded so the
+        streaming update tiles (<= 2048 rows) divide it evenly."""
+        n = -(-self.padded_vocab // self.pack)
+        return (n + 2047) // 2048 * 2048
 
     @property
     def fold(self) -> int:
@@ -132,11 +180,20 @@ class EmbeddingTableSpec:
 
     @property
     def storage_shape(self) -> tuple[int, int]:
+        if self.row_packed:
+            return (self.packed_rows, 128)
         if self.feature_major:
             return (self.padded_dim, self.padded_vocab // self.fold)
         return (self.padded_vocab, self.emb_dim)
 
     def partition_spec(self) -> P:
+        if self.row_packed:
+            if self.slice_mode != "none":
+                raise ValueError(
+                    "row_packed layout does not shard; use feature_major "
+                    f"for slice_mode={self.slice_mode!r}"
+                )
+            return P(None, None)
         # feature-major storage flips the axes: vocab is dim 1
         row, col = ("model", None)
         if self.feature_major:
@@ -183,7 +240,12 @@ class EmbeddingLookup:
     def __call__(self, table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         """Gather rows; ids of any shape -> ``ids.shape + [emb_dim]``."""
         spec = self.spec
-        if spec.feature_major:
+        if spec.row_packed:
+            flat = ids.reshape(-1)
+            out = packed_gather(spec, table, flat).reshape(
+                ids.shape + (spec.emb_dim,)
+            )
+        elif spec.feature_major:
             r, d = spec.fold, spec.emb_dim
             flat = ids.reshape(-1)
             cols = flat // r if r > 1 else flat
@@ -209,8 +271,68 @@ class EmbeddingLookup:
 # ---------------------------------------------------------------------------
 
 
+def packed_gather(spec: EmbeddingTableSpec, table, ids) -> "jnp.ndarray":
+    """Traceable gather of logical rows from row_packed storage:
+    ONE native 512-byte-row gather (the fastest gather shape on TPU —
+    benchmarks/permute_layouts.py / sweep_gather_r5.py) + a fold-style
+    lane extract done in the gathered (small-footprint) space.
+
+    ``ids`` flat i32 (sentinels/overflow clip to the last padding row,
+    whose value is irrelevant because callers mask or never read those
+    outputs).  Returns ``[n, emb_dim]`` in the table's dtype."""
+    p, d = spec.pack, spec.emb_dim
+    rows = jnp.take(table, ids // p, axis=0, mode="clip")  # [n, 128]
+    if p == 1:
+        return rows[:, :d]
+    sub = (ids % p).astype(jnp.int32)
+    r3 = rows[:, : p * d].reshape(-1, p, d)
+    m = (
+        jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], p), 1)
+        == sub[:, None]
+    )
+    return jnp.sum(r3 * m[..., None].astype(r3.dtype), axis=1)
+
+
+def packed_expand(spec: EmbeddingTableSpec, vals, sub) -> "jnp.ndarray":
+    """Inverse of the lane extract: place ``vals [n, emb_dim]`` into the
+    fold-sub lane window ``[sub*d, (sub+1)*d)`` of 128-lane rows (other
+    lanes zero).  Used to turn per-logical-row gradients into the
+    row_packed update kernels' lane layout."""
+    p, d = spec.pack, spec.emb_dim
+    n = vals.shape[0]
+    if p == 1:
+        out = vals
+    else:
+        m = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, p), 1)
+            == sub.astype(jnp.int32)[:, None]
+        )
+        out = (m[..., None].astype(vals.dtype) * vals[:, None, :]).reshape(
+            n, p * d
+        )
+    if p * d < 128:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n, 128 - p * d), out.dtype)], axis=1
+        )
+    return out
+
+
 def to_storage(spec: EmbeddingTableSpec, logical: jnp.ndarray) -> jnp.ndarray:
     """[padded_vocab, emb_dim] logical table -> storage layout."""
+    if spec.row_packed:
+        p, d = spec.pack, spec.emb_dim
+        vr = spec.packed_rows
+        pad_rows = vr * p - spec.padded_vocab
+        if pad_rows:
+            logical = jnp.concatenate(
+                [logical, jnp.zeros((pad_rows, d), logical.dtype)]
+            )
+        t = logical.reshape(vr, p * d)  # row r lanes [s*d, (s+1)*d) = row r*p+s
+        if p * d < 128:
+            t = jnp.concatenate(
+                [t, jnp.zeros((vr, 128 - p * d), t.dtype)], axis=1
+            )
+        return t
     if not spec.feature_major:
         return logical
     r, d, dp = spec.fold, spec.emb_dim, spec.padded_dim
@@ -226,6 +348,10 @@ def to_storage(spec: EmbeddingTableSpec, logical: jnp.ndarray) -> jnp.ndarray:
 def from_storage(spec: EmbeddingTableSpec, storage) -> np.ndarray:
     """Storage layout -> logical [padded_vocab, emb_dim] (host-side)."""
     arr = np.asarray(storage)
+    if spec.row_packed:
+        p, d = spec.pack, spec.emb_dim
+        flat = arr[:, : p * d].reshape(-1, d)
+        return flat[: spec.padded_vocab]
     if not spec.feature_major:
         return arr
     r, d = spec.fold, spec.emb_dim
@@ -239,6 +365,10 @@ def read_rows(spec: EmbeddingTableSpec, storage, ids) -> np.ndarray:
     storage convention (host-side, numpy)."""
     arr = np.asarray(storage)
     ids = np.asarray(ids).reshape(-1)
+    if spec.row_packed:
+        p, d = spec.pack, spec.emb_dim
+        lanes = (ids % p)[:, None] * d + np.arange(d)[None, :]
+        return arr[(ids // p)[:, None], lanes]
     if not spec.feature_major:
         return arr[ids]
     r, d = spec.fold, spec.emb_dim
@@ -254,6 +384,12 @@ def write_rows(spec: EmbeddingTableSpec, storage, ids, rows):
 
     ids = np.asarray(ids).reshape(-1)
     rows = np.asarray(rows).reshape(len(ids), spec.emb_dim)
+    if spec.row_packed:
+        p, d = spec.pack, spec.emb_dim
+        arr = np.array(storage)  # host copy; row writes are rare
+        lanes = (ids % p)[:, None] * d + np.arange(d)[None, :]
+        arr[(ids // p)[:, None], lanes] = rows
+        return _jnp.asarray(arr)
     if not spec.feature_major:
         return _jnp.asarray(storage).at[_jnp.asarray(ids)].set(_jnp.asarray(rows))
     r, d = spec.fold, spec.emb_dim

@@ -69,6 +69,7 @@ class RecModel:
         wire=None,
         prep_placement: str = "host",
         audit_every: int = 16,
+        input_recipe: str = "none",
     ):
         """``unique_bucket``: opt into the end-to-end host input
         pipeline (``data/pipeline.py``): an int (or
@@ -90,7 +91,20 @@ class RecModel:
         ``unique_bucket`` (the step's static bound; audited on the host,
         grown + re-jitted on overflow).  Pick with
         :func:`~mindrec_tpu.data.wire.choose_prep` from the measured
-        link bandwidth."""
+        link bandwidth.
+
+        ``input_recipe="auto"``: measure the host->device link once at
+        the first ``train(dataset_sink_mode=True)`` call
+        (:func:`~mindrec_tpu.data.wire.measure_link`) and pick the
+        sustained-throughput recipe from its physics — host prep on
+        fast links (PCIe: smallest step); on high-fixed-cost links,
+        compact wire encoding + device prep + superbatch staging (one
+        k-batch transfer amortizes the fixed per-put round trip) + a
+        fused slice/decode/step driver (one dispatch per batch).  This
+        promotes the recipe behind the r4 bench's best e2e number
+        (benchmarks/PROFILE_r04.md §4) into the documented API path;
+        needs ``unique_bucket`` and a single-id-group model, else it
+        keeps the configured pipeline."""
         self.model = model
         sens = float(getattr(model.config, "loss_scale", 1.0))
         self.opt_w = opt_w or optim_lib.ftrl(loss_scale=sens)
@@ -129,6 +143,12 @@ class RecModel:
         self.wire = wire
         self.prep_placement = prep_placement
         self.audit_every = audit_every
+        if input_recipe not in ("none", "auto"):
+            raise ValueError(f"input_recipe must be 'none' or 'auto', "
+                             f"got {input_recipe!r}")
+        self.input_recipe = input_recipe
+        self._recipe_resolved = input_recipe != "auto"
+        self._fused = None  # (jitted fused step, superbatch k)
         # with a bucket policy the step derives its static unique
         # bucket from the pipeline's trimmed uq_ids length, so a bucket
         # regrow is a shape change jit re-traces automatically; in
@@ -150,10 +170,108 @@ class RecModel:
         self.train_step = make_train_step(
             self.model, self.opt_w, self.opt_d, **self._step_kw
         )
+        if self._fused is not None:
+            self._build_fused(new_bucket)
+
+    # ------------------------------------------------------------------
+    # auto input recipe (measured link physics -> prep placement)
+    # ------------------------------------------------------------------
+
+    def _resolve_recipe(self):
+        """``input_recipe='auto'``: measure the host->device link once
+        and configure wire encoding / prep placement / superbatch depth
+        from its affine cost model (fixed ms per put + bytes/s)."""
+        self._recipe_resolved = True
+        if jax.default_backend() == "cpu":
+            return
+        cfg = self.model.config
+        groups = getattr(self.model, "table_groups", None)
+        multi = groups is not None and not (
+            len(groups) == 1 and "_default" in groups
+        )
+        if self.bucket_policy is None or multi or self.wire is not None:
+            return  # keep the explicitly configured pipeline
+        from mindrec_tpu.data.wire import BatchWire, measure_link
+
+        fixed_ms, bw = measure_link()
+        B, F = int(cfg.batch_size), int(cfg.field_size)
+        wire = BatchWire.for_sparse(int(cfg.vocab_size), B, F,
+                                    host_prep=False)
+        probe = {
+            "ids": np.zeros((B, F), np.int32),
+            "wts": np.zeros((B, F), np.float32),
+            "label": np.zeros((B, 1), np.float32),
+        }
+        wire_bytes = wire.wire_bytes(probe)
+        # host-prep payload: raw batch + perm/uidx/uidx_sorted i32 +
+        # the bucket-trimmed unique buffer (minimal prep set)
+        host_bytes = (
+            B * F * 4 * 2 + B * 4 + B * F * 4 * 3
+            + self.bucket_policy.bucket * 4
+        )
+        wire_ms = wire_bytes / bw * 1e3
+        host_ms = host_bytes / bw * 1e3
+        # step-time proxy: the 1-chip W&D-class rate (~750k samples/s)
+        # scaled by batch size — only used to decide whether the link is
+        # the bottleneck at all, not for accuracy
+        step_proxy_ms = B / 750e3 * 1e3
+        if fixed_ms + host_ms <= step_proxy_ms:
+            # fast link (PCIe-class): host prep wins — smallest step,
+            # transfer hides under it; nothing to change
+            return
+        k = max(1, min(16, round(fixed_ms / max(wire_ms, 1e-3))))
+        self.wire = wire
+        self.prep_placement = "device"
+        self.host_prep = True
+        self._superbatch = k
+        self._step_kw["unique_bucket"] = self.bucket_policy.bucket
+        self.train_step = make_train_step(
+            self.model, self.opt_w, self.opt_d, **self._step_kw
+        )
+        if k > 1:
+            self._build_fused(self.bucket_policy.bucket)
+        print(
+            f"[mindrec] auto input recipe: link fixed={fixed_ms:.0f} ms/put"
+            f", bw={bw / 1e6:.0f} MB/s -> device-prep compact wire "
+            f"({wire_bytes / 1e6:.2f} MB/batch vs {host_bytes / 1e6:.2f} "
+            f"host-prep), superbatch={k}"
+            + (", fused slice/decode/step driver" if k > 1 else ""),
+            flush=True,
+        )
+
+    def _build_fused(self, bucket: int):
+        """One jitted dispatch per batch: slice the staged supergroup,
+        decode the wire arena, run the train step — the driver that held
+        the r4 bench's best e2e number (PROFILE_r04.md §4)."""
+        raw_step = make_train_step(
+            self.model, self.opt_w, self.opt_d, jit=False,
+            unique_bucket=bucket,
+        )
+        decode = self.wire.decoder(jit=False)
+
+        def fused_fn(st, sup, i):
+            b = {k: v[i] for k, v in sup.items()}
+            return raw_step(st, decode(b))
+
+        self._fused = (jax.jit(fused_fn, donate_argnums=(0,)),
+                       self._superbatch)
 
     @property
     def params(self):
         return self.state.params
+
+    def _exec_step(self, batch):
+        """Run one train step; fused-recipe batches arrive as
+        {"__sup__": staged supergroup, "__i__": slice index} markers and
+        dispatch through the fused slice/decode/step jit."""
+        if "__sup__" in batch:
+            fused_jit, _k = self._fused
+            self.state, losses = fused_jit(
+                self.state, batch["__sup__"], batch["__i__"]
+            )
+        else:
+            self.state, losses = self.train_step(self.state, batch)
+        return losses
 
     # ------------------------------------------------------------------
     # offline training
@@ -180,7 +298,7 @@ class RecModel:
                 step_num += 1
                 ctx.cur_step_num = step_num
                 cb.on_train_step_begin(ctx)
-                self.state, losses = self.train_step(self.state, batch)
+                losses = self._exec_step(batch)
                 ctx.net_outputs = losses
                 ctx.train_state = self.state
                 cb.on_train_step_end(ctx)
@@ -248,7 +366,7 @@ class RecModel:
             step_num += 1
             ctx.cur_step_num = step_num
             cb.on_train_step_begin(ctx)
-            self.state, losses = self.train_step(self.state, batch)
+            losses = self._exec_step(batch)
             ctx.net_outputs = losses
             ctx.train_state = self.state
             cb.on_train_step_end(ctx)
@@ -292,6 +410,39 @@ class RecModel:
     def _maybe_sink(self, dataset, sink: bool) -> Iterable:
         if not sink:
             return iter(dataset)
+        if not self._recipe_resolved:
+            self._resolve_recipe()
+        if self._fused is not None:
+            from mindrec_tpu.data.pipeline import SparseInputPipeline
+
+            fused_jit, k = self._fused
+            pipe = SparseInputPipeline(
+                dataset,
+                field_size=int(getattr(self.model.config, "field_size", 0)),
+                policy=self.bucket_policy,
+                workers=self.prep_workers,
+                device=True,
+                wire=self.wire,
+                host_prep=False,
+                audit_every=self.audit_every,
+                on_grow=self._on_bucket_grow,
+                superbatch=k,
+                unstack=False,
+                decode=False,
+                pad_tail=True,
+            )
+
+            def gen():
+                for sup in pipe:
+                    sup = dict(sup)
+                    if "__sb_n__" in sup:
+                        n = int(sup.pop("__sb_n__"))
+                    else:
+                        n = next(iter(sup.values())).shape[0]
+                    for i in range(n):
+                        yield {"__sup__": sup, "__i__": np.int32(i)}
+
+            return gen()
         if self.host_prep:
             # end-to-end input pipeline: raw host batches -> prep pool
             # -> device prefetch, with adaptive re-bucketing (single

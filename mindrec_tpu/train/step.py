@@ -177,6 +177,87 @@ def _permute_rows_bwd(res, ct):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+def _packed_table_update(opt: Optimizer, g_cols, rows_sorted, sub_sorted,
+                         leaf_state, table, spec, present=None,
+                         matmul_dtype=None):
+    """Row-sparse optimizer update on ``row_packed`` storage via the
+    full-lane streaming kernels (ops/pallas/stream_update_rows.py).
+
+    ``g_cols``: [dim, U] summed unique gradients (segsum layout);
+    ``rows_sorted``/``sub_sorted``: ``uq // pack`` / ``uq % pack`` of the
+    sorted padded unique ids; ``present``: optional [U] gate (tiny-vocab
+    groups enumerate the whole id space — absent ids must stay
+    untouched)."""
+    from mindrec_tpu.ops.pallas import stream_update_rows as sur
+
+    h = opt.hyper
+    g_sel = g_cols.T  # [U, dim]
+    if sub_sorted is None:  # pack == 1: every logical row owns its row
+        sub_sorted = jnp.zeros_like(rows_sorted)
+    kw = dict(dim=spec.emb_dim, pack=spec.pack, present=present,
+              matmul_dtype=matmul_dtype or jnp.bfloat16)
+    if opt.kind == "adam":
+        step = leaf_state["step"] + 1
+        s = step.astype(jnp.float32)
+        lr_t = (
+            h["learning_rate"]
+            * jnp.sqrt(1.0 - jnp.power(h["b2"], s))
+            / (1.0 - jnp.power(h["b1"], s))
+        )
+        t2, m2, v2 = sur.streamed_adam_rows(
+            table, leaf_state["m"], leaf_state["v"], rows_sorted, sub_sorted,
+            g_sel, lr_t, b1=h["b1"], b2=h["b2"], eps=h["eps"],
+            loss_scale=h["loss_scale"], **kw,
+        )
+        return t2, {"m": m2, "v": v2, "step": step}
+    if opt.kind == "ftrl":
+        t2, a2, l2 = sur.streamed_ftrl_rows(
+            table, leaf_state["accum"], leaf_state["linear"], rows_sorted,
+            sub_sorted, g_sel, learning_rate=h["learning_rate"], l1=h["l1"],
+            l2=h["l2"], loss_scale=h["loss_scale"], **kw,
+        )
+        return t2, {"accum": a2, "linear": l2}
+    if opt.kind == "sgd":
+        from mindrec_tpu.ops.embedding import packed_expand
+
+        delta = packed_expand(
+            spec,
+            (-h["learning_rate"] / h["loss_scale"]) * g_sel.astype(jnp.float32),
+            sub_sorted,
+        )
+        if present is not None:
+            delta = delta * present.astype(delta.dtype).reshape(-1, 1)
+        return (
+            table.at[rows_sorted].add(delta.astype(table.dtype), mode="drop"),
+            leaf_state,
+        )
+    raise ValueError(f"packed streamed update supports ftrl/adam/sgd "
+                     f"(kind={opt.kind})")
+
+
+def _packed_update_generic(opt: Optimizer, g_rows, row_ids, touch_rows,
+                           leaf_state, table):
+    """Generic-backend (CPU tests) masked row update on row_packed
+    storage: reuse ``opt.update_cols`` through a transposed view so the
+    optimizer arithmetic has exactly one implementation.
+
+    ``g_rows [U, 128]`` lane-expanded summed grads, ``row_ids [U]``
+    unique storage rows (fill duplicates carry ``touch_rows`` False),
+    ``touch_rows [U, 128]`` bool per-lane touch."""
+    def tmap(state):
+        if not isinstance(state, dict):  # e.g. sgd's stateless ()
+            return state
+        return {
+            k: (v.T if getattr(v, "ndim", 0) == 2 else v)
+            for k, v in state.items()
+        }
+
+    t2T, s2T = opt.update_cols(
+        g_rows.T, row_ids, touch_rows.T, tmap(leaf_state), table.T
+    )
+    return t2T.T, tmap(s2T)
+
+
 def _streamed_table_update(opt: Optimizer, grads_aug, cols_sorted, leaf_state,
                            table, spec, matmul_dtype=None, mesh=None,
                            n_shards: int = 1):
@@ -337,6 +418,20 @@ def make_train_step(
             "models; multi-group models stream via row_layout=True "
             "(the default) or use_pallas=False"
         )
+    if (
+        use_pallas
+        and not row_layout
+        and any(spec.row_packed for _p, spec in table_specs.values())
+    ):
+        warnings.warn(
+            "row_layout=False streams feature-major [Dp, Vc] tables, but "
+            "this model stores row_packed tables (the default layout); "
+            "falling back to the generic path — build specs with "
+            "layout='feature_major' (config table_layout) to use the "
+            "legacy streamed formulation",
+            stacklevel=2,
+        )
+        use_pallas = False
     if matmul_dtype is None:
         matmul_dtype = jnp.bfloat16
 
@@ -553,6 +648,21 @@ def make_train_step(
                 table = get_table(params, path)
                 opt = opt_w if is_wide_key(key) else opt_d
                 opt_state = opt_w_state if is_wide_key(key) else opt_d_state
+                if spec.row_packed and name not in sharded_tables:
+                    present = None
+                    if touch_mask is not None and name in touch_mask:
+                        present = touch_mask[name].reshape(-1)
+                    new_table, new_sub = _packed_table_update(
+                        opt, col_grads[name], uq_cols[name], sub_uq[name],
+                        opt_state[key], table, spec, present=present,
+                        matmul_dtype=matmul_dtype,
+                    )
+                    if is_wide_key(key):
+                        opt_w_state = {**opt_w_state, key: new_sub}
+                    else:
+                        opt_d_state = {**opt_d_state, key: new_sub}
+                    params2 = _set_table(params2, path, new_table)
+                    continue
                 g_aug = make_aug_grads(col_grads[name], sub_uq[name])
                 if touch_mask is not None and name in touch_mask:
                     g_aug = jnp.concatenate(
@@ -669,9 +779,18 @@ def make_train_step(
             )
             from mindrec_tpu.ops.pallas.stream_segsum import streamed_segsum
 
+            # per-table lane width in the [ub, width] unique row buffer:
+            # row_packed tables contribute their logical emb_dim (the
+            # fold-sub lane extract happens in unique space, right after
+            # the packed gather); feature-major tables contribute their
+            # full storage sublane block (positions fold-mask it)
             dpf_of = {
-                name: get_table(params, path).shape[0]
-                for name, (path, _) in table_specs.items()
+                name: (
+                    spec.emb_dim
+                    if spec.row_packed
+                    else get_table(params, path).shape[0]
+                )
+                for name, (path, spec) in table_specs.items()
             }
             gdata = {}
             for g, info in table_groups.items():
@@ -714,20 +833,43 @@ def make_train_step(
                     # bodies — pin it replicated so GSPMD never hands
                     # the kernels a data-sharded operand
                     uq_b = _rep(uq_b)
-                # lane layout: the group's tables' full sublane blocks
-                # side by side in ONE row-major [ub, width] f32 buffer,
-                # so both order crossings run as 512-byte-row gathers
+                # lane layout: the group's tables side by side in ONE
+                # row-major [ub, width] f32 buffer, so both order
+                # crossings run as 512-byte-row gathers.  row_packed
+                # tables come FIRST: their unique rows arrive as one
+                # native XLA 512-byte-row gather + lane extract
+                # (benchmarks/sweep_gather_r5.py: 2.2 ms vs 4.7 ms for
+                # streaming the full deep table at the bench shape) and
+                # concatenate directly into the buffer's leading lanes;
+                # feature-major tables stream into the remaining lanes.
+                t_order = sorted(
+                    info["tables"],
+                    key=lambda n: not table_specs[n][1].row_packed,
+                )
                 offs, off = {}, 0
-                for name in info["tables"]:
+                for name in t_order:
                     offs[name] = off
                     off += dpf_of[name]
                 width = max(128, -(-off // 128) * 128)
-                buf = jnp.zeros((ub, width), jnp.float32)
+                parts = []  # leading packed lanes
+                st_list = []  # deferred feature-major streamed gathers
                 uq_cols_g, sub_uq_g = {}, {}
                 sh_tables, sh_uqcols, sh_offs, sh_tiles = [], [], [], []
-                for name in info["tables"]:
+                for name in t_order:
                     path, spec = table_specs[name]
                     table = get_table(params, path)
+                    if spec.row_packed and name not in sharded_tables:
+                        from mindrec_tpu.ops.embedding import packed_gather
+
+                        p = spec.pack
+                        uq_cols_g[name] = uq_b // p if p > 1 else uq_b
+                        sub_uq_g[name] = uq_b % p if p > 1 else None
+                        parts.append(
+                            packed_gather(spec, table, uq_b).astype(
+                                jnp.float32
+                            )
+                        )
+                        continue
                     r = spec.fold
                     uq_cols_g[name] = uq_b // r if r > 1 else uq_b
                     sub_uq_g[name] = uq_b % r if r > 1 else None
@@ -750,6 +892,16 @@ def make_train_step(
                         sh_tiles.append(tl)
                         continue
                     tl = _pick_tile(table.shape[1], dp=table.shape[0])
+                    st_list.append((name, table, tl))
+                pk_lanes = sum(p.shape[1] for p in parts)
+                if parts and pk_lanes < width:
+                    parts.append(jnp.zeros((ub, width - pk_lanes), jnp.float32))
+                buf = (
+                    jnp.concatenate(parts, axis=1)
+                    if parts
+                    else jnp.zeros((ub, width), jnp.float32)
+                )
+                for name, table, tl in st_list:
                     buf = streamed_gather_rows(
                         table, uq_cols_g[name], buf, lane_offset=offs[name],
                         tile=tl, matmul_dtype=matmul_dtype,
@@ -770,21 +922,21 @@ def make_train_step(
                     ng=Bg * Fg, Bg=Bg, Fg=Fg, tiny=tiny,
                 )
 
-            def reorder_all_rows(pos_deltas):
-                # per group: ONE 512-byte-row f32 gather expands unique
-                # rows to batch order; pos_deltas[g] is the
-                # differentiation point (the expansion is
-                # stop_gradient'ed, so the backward emits batch-order
-                # per-position grads directly)
+            # per group: ONE 512-byte-row f32 gather expands unique rows
+            # to batch order OUTSIDE the loss closure; differentiating
+            # w.r.t. the expanded rows directly yields batch-order
+            # per-position grads with no pass-through zeros-delta add
+            # (the r2-r4 formulation materialized buf[uidx] + zeros)
+            rows_pos_in = {
+                g: gd["buf"][gd["uidx_batch"]].astype(matmul_dtype)
+                for g, gd in gdata.items()
+            }
+
+            def reorder_all_rows(rows_pos_all):
                 rows = {}
                 for g, info in table_groups.items():
                     gd = gdata[g]
-                    rows_pos = (
-                        jax.lax.stop_gradient(gd["buf"])[
-                            gd["uidx_batch"]
-                        ].astype(matmul_dtype)
-                        + pos_deltas[g]
-                    )  # [N_g, width]
+                    rows_pos = rows_pos_all[g]  # [N_g, width]
                     for name in info["tables"]:
                         spec = table_specs[name][1]
                         o = gd["offs"][name]
@@ -799,19 +951,15 @@ def make_train_step(
                         rows[name] = r.reshape(gd["Bg"], gd["Fg"], -1)
                 return rows
 
-            def loss_fn(params, pos_deltas):
-                rows = reorder_all_rows(pos_deltas)
+            def loss_fn(params, rows_pos_all):
+                rows = reorder_all_rows(rows_pos_all)
                 logits = call_rows(params, rows)
                 loss_w, loss_d = model.loss(params, logits, batch["label"])
                 return loss_d * sens, (loss_w, loss_d)
 
-            pos_deltas = {
-                g: jnp.zeros((gd["ng"], gd["width"]), matmul_dtype)
-                for g, gd in gdata.items()
-            }
             (grads, g_deltas), (loss_w, loss_d) = jax.grad(
                 loss_fn, argnums=(0, 1), has_aux=True
-            )(params, pos_deltas)
+            )(params, rows_pos_in)
             # per group: batch-order grads -> sorted order (the mirror
             # 512B-row gather), then the row-major streamed segment-sum
             # folds duplicates; no transpose on either side
@@ -960,6 +1108,15 @@ def make_train_step(
             for name, (path, spec) in table_specs.items():
                 table = get_table(params, path)
                 gflat = ids_by_group[group_of[name]].reshape(-1)
+                if spec.row_packed:
+                    from mindrec_tpu.ops.embedding import packed_gather
+
+                    # keep the LOGICAL ids; the packed update tail
+                    # re-derives (row, sub) after the unique pass
+                    cols_flat[name] = gflat
+                    sub_flat[name] = None
+                    rows_in[name] = packed_gather(spec, table, gflat).T
+                    continue
                 r = spec.fold
                 cols = gflat // r if r > 1 else gflat
                 cols_flat[name] = cols
@@ -1044,6 +1201,47 @@ def make_train_step(
             opt = opt_w if is_wide_key(key) else opt_d
             opt_state = opt_w_state if is_wide_key(key) else opt_d_state
             g = col_grads[name]  # (Dp, N_g) per-position grads
+            if spec.row_packed:
+                from mindrec_tpu.ops.embedding import packed_expand
+
+                gflat = cols_flat[name]  # LOGICAL ids
+                n_g = int(gflat.shape[0])
+                # 1) sum per logical id (fill target: the last padded
+                # logical row, guaranteed free of trainable ids)
+                uqL = unique_pad(
+                    gflat, size=n_g, fill_value=spec.padded_vocab - 1
+                )
+                invL = uqL.inverse.reshape(-1)
+                summed = jax.ops.segment_sum(g.T, invL, num_segments=n_g)
+                counts = jax.ops.segment_sum(
+                    jnp.ones((n_g, 1), g.dtype), invL, num_segments=n_g
+                )
+                p = spec.pack
+                subL = uqL.ids % p if p > 1 else jnp.zeros_like(uqL.ids)
+                physL = uqL.ids // p if p > 1 else uqL.ids
+                touched = (counts > 0).astype(g.dtype)  # [U, 1]
+                g128 = packed_expand(spec, summed, subL)
+                t128 = packed_expand(
+                    spec, jnp.broadcast_to(touched, summed.shape), subL
+                )
+                # 2) fold logical siblings into unique storage rows
+                uqR = unique_pad(
+                    physL, size=n_g, fill_value=table.shape[0] - 1
+                )
+                invR = uqR.inverse.reshape(-1)
+                g_rows = jax.ops.segment_sum(g128, invR, num_segments=n_g)
+                t_rows = (
+                    jax.ops.segment_sum(t128, invR, num_segments=n_g) > 0
+                )
+                new_table, new_sub = _packed_update_generic(
+                    opt, g_rows, uqR.ids, t_rows, opt_state[key], table
+                )
+                if is_wide_key(key):
+                    opt_w_state = {**opt_w_state, key: new_sub}
+                else:
+                    opt_d_state = {**opt_d_state, key: new_sub}
+                params2 = _set_table(params2, path, new_table)
+                continue
             g_aug = make_aug_grads(g, sub_flat[name])
             # fill target = last storage column: guaranteed free of
             # trainable ids (spec reserves >= 7 spare rows past the

@@ -126,14 +126,19 @@ def sparse_step_floor(model, batch_size: int, *, unique_bucket=None,
         rows, cols = spec.storage_shape
         dt = _dsize(getattr(spec, "dtype", "float32"))
         tb = rows * cols * dt
-        # traffic cap: streaming never needs more than the touched rows'
-        # sectors; with U uniques only ~U columns' tiles matter
-        touched = min(tb, u * max(SECTOR_BYTES, rows * dt))
+        if getattr(spec, "row_packed", False):
+            # packed layout: one 512-byte storage row per touched unique
+            touched = min(tb, u * max(SECTOR_BYTES, cols * dt))
+            width += spec.emb_dim
+        else:
+            # feature-major: per touched column, one sector per sublane
+            # group of the column's bytes
+            touched = min(tb, u * max(SECTOR_BYTES, rows * dt))
+            width += rows
         gather = touched
         # adam/ftrl: 3 arrays read + 3 written (state at table width)
         update = 6 * touched
         table_bytes += gather + update
-        width += rows
     lane_width = max(128, -(-width // 128) * 128)
     buf_bytes = u * lane_width * 4  # the [U, width] f32 buffer write
 

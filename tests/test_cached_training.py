@@ -141,3 +141,71 @@ def test_cache_thrash_raises(tmp_path):
     b = {"ids": np.arange(B * F, dtype=np.int64).reshape(B, F)}
     with pytest.raises(RuntimeError, match="thrash"):
         adapter.prepare(b)
+
+
+def _run_async(cache_rows, tmp_path, batches):
+    """Same as :func:`_run` but driven through AsyncCachedTrainer (the
+    pipelined r5 driver: worker-thread writeback->prepare chain +
+    threaded per-tier reads)."""
+    from mindrec_tpu.train.cached import AsyncCachedTrainer
+
+    cfg = WideDeepConfig(
+        batch_size=B, field_size=F, vocab_size=cache_rows, emb_dim=D,
+        deep_layer_dim=(16, 8), sparse=True, loss_scale=1.0,
+    )
+    model = WideDeepModel(cfg)
+    opt_w, opt_d = optim.ftrl(loss_scale=1.0), optim.lazy_adam(loss_scale=1.0)
+    state = init_train_state(model, 0, opt_w, opt_d)
+    adapter = CachedTrainingAdapter(
+        model, virtual_vocab=V, cache_rows=cache_rows, max_swap=B * F + 8,
+        spill_dir=str(tmp_path),
+    )
+    ids = np.arange(V)
+    rng = np.random.default_rng(7)
+    for name, tiers in adapter.tiers.items():
+        d = tiers["param"].dim
+        tiers["param"].write(ids, rng.normal(0, 0.01, (V, d)).astype(np.float32))
+        for tname, tier in tiers.items():
+            if tname == "param":
+                continue
+            bias = 1.0 if tname == "accum" else 0.0
+            tier.write(ids, np.full((V, d), bias, np.float32))
+
+    step = make_train_step(model, opt_w, opt_d, jit=True, donate=False)
+    trainer = AsyncCachedTrainer(adapter, step, state)
+    losses = []
+    for b in batches:
+        out = trainer.step(b)
+        if out is not None:
+            losses.append(float(out[0]))
+    state = trainer.finish()
+    adapter.flush_all(state)
+
+    touched = np.unique(np.concatenate([b["ids"].reshape(-1) for b in batches]))
+    rows = {
+        name: adapter.tiers[name]["param"].read(touched)
+        for name in adapter.tiers
+    }
+    states = {
+        (name, tname): adapter.tiers[name][tname].read(touched)
+        for name in adapter.tiers
+        for tname in adapter.tiers[name]
+        if tname != "param"
+    }
+    return losses, rows, states, touched
+
+
+def test_async_trainer_matches_serial_protocol(tmp_path):
+    """The pipelined driver must be bit-identical to the serial
+    per-step protocol: only device-dispatch overlap changes, never the
+    order of LRU/tier operations."""
+    batches = _batches(seed=11)
+    serial = _run(cache_rows=40, tmp_path=tmp_path / "s", batches=batches)
+    pipe = _run_async(cache_rows=40, tmp_path=tmp_path / "p", batches=batches)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(serial[0])), np.sort(np.asarray(pipe[0]))
+    )
+    for name in serial[1]:
+        np.testing.assert_array_equal(serial[1][name], pipe[1][name])
+    for k in serial[2]:
+        np.testing.assert_array_equal(serial[2][k], pipe[2][k])

@@ -85,10 +85,18 @@ def test_pallas_step_matches_generic():
 def test_pallas_layouts_match_generic(row_layout, bucket):
     """Both streamed formulations (feature-major and row-major
     512B-crossing) and the static unique bucket must match the generic
-    step exactly."""
+    step exactly.  The feature-major formulation (row_layout=False)
+    needs the legacy storage layout — the default is row_packed."""
+    import dataclasses
+
     import jax.numpy as jnp
 
-    model = WideDeepModel(CFG)
+    cfg = (
+        dataclasses.replace(CFG, table_layout="feature_major")
+        if not row_layout
+        else CFG
+    )
+    model = WideDeepModel(cfg)
     opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
     opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
     key = jax.random.PRNGKey(1)
@@ -166,4 +174,46 @@ def test_pallas_step_with_pipeline_prep_matches_generic():
             np.asarray(s_pal.params[tbl]["table"]),
             np.asarray(s_gen.params[tbl]["table"]),
             rtol=2e-2, atol=1e-5, err_msg=f"{tbl} table diverged",
+        )
+
+
+def test_row_packed_matches_feature_major_layout():
+    """The two storage layouts of the same spec must train to the same
+    logical tables: layout is an implementation detail, not semantics."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mindrec_tpu.ops.embedding import from_storage
+
+    models = {}
+    states = {}
+    steps = {}
+    for layout in ("row_packed", "feature_major"):
+        cfg = dataclasses.replace(CFG, table_layout=layout)
+        m = WideDeepModel(cfg)
+        opt_w = optim.ftrl(loss_scale=CFG.loss_scale)
+        opt_d = optim.lazy_adam(loss_scale=CFG.loss_scale)
+        models[layout] = m
+        states[layout] = init_train_state(m, jax.random.PRNGKey(7), opt_w, opt_d)
+        steps[layout] = make_train_step(
+            m, opt_w, opt_d, jit=True, donate=False, use_pallas=True,
+            matmul_dtype=jnp.float32,
+        )
+    # identical logical init by construction (init draws in logical shape)
+    for i in range(3):
+        b = _batch(seed=40 + i)
+        for layout in models:
+            states[layout], (lw, ld) = steps[layout](states[layout], b)
+    for tbl in ("wide", "deep"):
+        lp = from_storage(
+            models["row_packed"].table_specs[tbl][1],
+            states["row_packed"].params[tbl]["table"],
+        )
+        lf = from_storage(
+            models["feature_major"].table_specs[tbl][1],
+            states["feature_major"].params[tbl]["table"],
+        )
+        np.testing.assert_allclose(
+            lp, lf, rtol=2e-2, atol=1e-5, err_msg=f"{tbl} layouts diverged"
         )
