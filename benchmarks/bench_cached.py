@@ -64,6 +64,10 @@ def run(batch_size=16000, field_size=39, emb_dim=16, layers=(1024,) * 7,
         vocab_size=CACHE_ROWS, emb_dim=emb_dim,
         deep_layer_dim=tuple(layers), use_mixed_precision=True,
         sparse=True, loss_scale=1024.0,
+        # feature-major: the per-step swap is a contiguous column
+        # scatter there; packed rows would element-scatter (measured
+        # 606 vs 255 ms/step)
+        table_layout="feature_major",
     )
     model = WideDeepModel(cfg)
     opt_w = optim.ftrl(loss_scale=cfg.loss_scale)

@@ -174,8 +174,15 @@ def main():
             emit({"event": "preprocess"})
             preprocess(files, str(work / "packed"), workers=4,
                        line_per_sample=100)
-        train_ds = lambda: PackedCriteoDataset(work / "packed" / "train", args.batch_size)
-        eval_ds = lambda: PackedCriteoDataset(work / "packed" / "test", args.batch_size)
+        # line_per_sample must match the preprocess packing (100 here;
+        # the reader's default is the reference's 1000 — a mismatch
+        # silently yields batch_size/10-sample batches)
+        train_ds = lambda: PackedCriteoDataset(
+            work / "packed" / "train", args.batch_size, line_per_sample=100
+        )
+        eval_ds = lambda: PackedCriteoDataset(
+            work / "packed" / "test", args.batch_size, line_per_sample=100
+        )
         if args.async_prep:
             from mindrec_tpu.data.pipeline import SparseInputPipeline
 

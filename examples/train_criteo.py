@@ -194,6 +194,10 @@ def main():
             **{f.name: getattr(mcfg, f.name) for f in
                __import__("dataclasses").fields(mcfg)},
             "vocab_size": cfg.vocab_cache_size,
+            # cache-mode swap is a contiguous column scatter on
+            # feature-major storage; the packed layout's per-element
+            # (row, lane) scatter serializes on TPU
+            "table_layout": "feature_major",
         })
         model = WideDeepModel(mcfg_cache)
         rm = RecModel(model, opt_w, opt_d, donate=False)

@@ -68,6 +68,9 @@ def main():
         batch_size=args.batch_size, field_size=args.field_size,
         vocab_size=args.cache_rows, emb_dim=args.emb_dim,
         deep_layer_dim=(1024, 512, 256, 128), sparse=True,
+        # cache-mode swap is a contiguous column scatter on
+        # feature-major storage (packed rows would element-scatter)
+        table_layout="feature_major",
     )
     model = WideDeepModel(cfg)
     opt_w, opt_d = optim.ftrl(loss_scale=cfg.loss_scale), optim.lazy_adam(
