@@ -409,11 +409,33 @@ class SparseInputPipeline:
         prep = self._prep_supervised if self.policy is not None else self._prep
         pool = HostPrepPool(self.source, prep, self.workers, self.depth)
         src = iter(pool)
+        counts = None
         if self.superbatch > 1:
             src = _stack_groups(src, self.superbatch, self.pad_tail)
+            if self.pad_tail and self.device:
+                # keep the per-group real-batch count HOST-side: staging
+                # it would make the consumer's int() a device fetch —
+                # one full link round trip per supergroup
+                counts = []
+
+                def strip(it_):
+                    for sb in it_:
+                        sb = dict(sb)
+                        counts.append(int(sb.pop("__sb_n__")))
+                        yield sb
+
+                src = strip(src)
         it = src if not self.device else iter(PrefetchToDevice(
             src, depth=self.prefetch_depth, sharding=self.sharding
         ))
+        if counts is not None:
+            def reattach(it_):
+                for sb in it_:
+                    out = dict(sb)
+                    out["__sb_n__"] = counts.pop(0)
+                    yield out
+
+            it = reattach(it)
         if self.superbatch > 1 and self.unstack:
             it = _unstack_groups(it)
         if self._decode is None:

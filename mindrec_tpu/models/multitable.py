@@ -89,11 +89,16 @@ class MultiTableWideDeepModel:
         self.config = config
         self.mesh = mesh
         c = config
+        # feature-major default: the r5 full-bench measured the packed
+        # layout 11% SLOWER on this model (674k vs 754k samples/s) — its
+        # dim-64/128 tables gain little from 512B-row gathers while the
+        # multi-group update loses the streamed fold economics
         mk = lambda name, vocab, dim, slice_mode="none": EmbeddingLookup(
             EmbeddingTableSpec(vocab_size=vocab, emb_dim=dim, name=name,
                                init_args=c.init_args, sparse=c.sparse,
                                slice_mode=slice_mode,
-                               layout=getattr(c, "table_layout", "auto")),
+                               layout=getattr(c, "table_layout",
+                                              "feature_major")),
             mesh,
         )
         self.emb128 = mk("emb128_embedding", c.emb_128_size, 128,

@@ -120,6 +120,152 @@ def gather_rows_sharded(
     )(tuple(uq_cols_list), *tables)
 
 
+def gather_cols_sharded(
+    mesh,
+    tables: list,
+    uq_cols_list: list,
+    lane_offsets: list,
+    dpl_list: list,
+    tiles: list,
+    ub: int,
+    width: int,
+    *,
+    matmul_dtype=jnp.bfloat16,
+    axis: str = MODEL_AXIS,
+):
+    """COLUMN-sliced twin of :func:`gather_rows_sharded`: the sublane
+    (feature) axis is sharded ``P(axis, None)``, so every shard sees
+    every id — no ownership clip, no vocab partitioning.  Shard ``m``
+    streams its local ``[Dp/M, Vc]`` block over the FULL sorted unique
+    vector into sublane window ``[off + m*dpl, off + (m+1)*dpl)`` of
+    the shared buffer; one model-axis psum merges the disjoint lane
+    windows (batch-scale, like the row-slice case).
+
+    The per-shard lane placement is dynamic (depends on
+    ``lax.axis_index``) while the pallas kernel's ``lane_offset`` is
+    static, so each shard gathers into lanes ``[0, dpl)`` of a local
+    scratch and places them with one tiny one-hot shift matmul
+    (``[ub,128] x [128,width]`` — microseconds at any real ``ub``)."""
+
+    def body(uqs, *tbls):
+        m = lax.axis_index(axis)
+        buf = jnp.zeros((ub, width), jnp.float32)
+        for tbl, uqc, off, dpl, tl in zip(
+            tbls, uqs, lane_offsets, dpl_list, tiles
+        ):
+            scratch = streamed_gather_rows(
+                tbl, uqc, jnp.zeros((ub, 128), jnp.float32),
+                lane_offset=0, tile=tl, matmul_dtype=matmul_dtype,
+            )  # local lanes [0, dpl)
+            dst0 = off + m * dpl
+            src = lax.broadcasted_iota(jnp.int32, (128, width), 0)
+            dst = lax.broadcasted_iota(jnp.int32, (128, width), 1)
+            S = jnp.logical_and(
+                dst == src + dst0, src < dpl
+            ).astype(scratch.dtype)
+            buf = buf + scratch @ S
+        return lax.psum(buf, axis)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(axis, None) for _ in tables),
+        out_specs=P(None, None),
+        check_vma=False,
+    )(tuple(uq_cols_list), *tables)
+
+
+def adam_colsliced_sharded(
+    mesh,
+    table,
+    m,
+    v,
+    uq_cols,
+    grads_aug,
+    lr_t,
+    *,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    loss_scale: float = 1.0,
+    tile: int,
+    matmul_dtype=jnp.bfloat16,
+    axis: str = MODEL_AXIS,
+):
+    """Column-sliced LazyAdam: shard ``m`` slices ITS sublane rows
+    ``[m*dpl, (m+1)*dpl)`` from the replicated ``[Dp+8, ub]``
+    touch-augmented grad block (the shared touch rows ride along) and
+    streams its local ``[Dp/M, Vc]`` state over the FULL sorted unique
+    columns — no collective at all (grads arrive replicated from the
+    data-axis psum).  fold==1 only (column-slicing a folded scalar
+    table is rejected upstream)."""
+    n_shards = mesh.shape[axis]
+    dp_global = grads_aug.shape[0] - su.AUG
+    dpl = dp_global // n_shards
+
+    def body(tbl, mm, vv, uqc, ga, lr):
+        midx = lax.axis_index(axis)
+        g_l = lax.dynamic_slice(ga, (midx * dpl, 0), (dpl, ga.shape[1]))
+        touch = ga[dp_global:]
+        ga_l = jnp.concatenate([g_l, touch])
+        return su.streamed_adam_cols(
+            tbl, mm, vv, uqc, ga_l, lr, dim=dpl, fold=1, b1=b1, b2=b2,
+            eps=eps, loss_scale=loss_scale, tile=tile,
+            matmul_dtype=matmul_dtype,
+        )
+
+    ts = P(axis, None)
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ts, ts, ts, P(), P(None, None), P()),
+        out_specs=(ts, ts, ts),
+        check_vma=False,
+    )(table, m, v, uq_cols, grads_aug, lr_t)
+
+
+def ftrl_colsliced_sharded(
+    mesh,
+    table,
+    accum,
+    linear,
+    uq_cols,
+    grads_aug,
+    *,
+    learning_rate: float = 5e-2,
+    l1: float = 1e-8,
+    l2: float = 1e-8,
+    loss_scale: float = 1.0,
+    tile: int,
+    matmul_dtype=jnp.bfloat16,
+    axis: str = MODEL_AXIS,
+):
+    """Column-sliced FTRL twin of :func:`adam_colsliced_sharded`."""
+    n_shards = mesh.shape[axis]
+    dp_global = grads_aug.shape[0] - su.AUG
+    dpl = dp_global // n_shards
+
+    def body(tbl, acc, lin, uqc, ga):
+        midx = lax.axis_index(axis)
+        g_l = lax.dynamic_slice(ga, (midx * dpl, 0), (dpl, ga.shape[1]))
+        touch = ga[dp_global:]
+        ga_l = jnp.concatenate([g_l, touch])
+        return su.streamed_ftrl_cols(
+            tbl, acc, lin, uqc, ga_l, dim=dpl, fold=1,
+            learning_rate=learning_rate, l1=l1, l2=l2,
+            loss_scale=loss_scale, tile=tile, matmul_dtype=matmul_dtype,
+        )
+
+    ts = P(axis, None)
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ts, ts, ts, P(), P(None, None)),
+        out_specs=(ts, ts, ts),
+        check_vma=False,
+    )(table, accum, linear, uq_cols, grads_aug)
+
+
 def partial_segsum_sharded(
     mesh,
     g_delta: jnp.ndarray,

@@ -219,7 +219,10 @@ class RecModel:
             # fast link (PCIe-class): host prep wins — smallest step,
             # transfer hides under it; nothing to change
             return
-        k = max(1, min(16, round(fixed_ms / max(wire_ms, 1e-3))))
+        # amortize the link's FIXED per-put cost to <= ~5 ms/batch (well
+        # under any step at these batch sizes); capped by the staging
+        # memory the superbatch holds host+device
+        k = max(1, min(16, -(-int(fixed_ms) // 5)))
         self.wire = wire
         self.prep_placement = "device"
         self.host_prep = True

@@ -274,7 +274,12 @@ def _streamed_table_update(opt: Optimizer, grads_aug, cols_sorted, leaf_state,
     from mindrec_tpu.ops.pallas import stream_update as su
 
     Vc = table.shape[1]
-    tile = _pick_tile(Vc // n_shards, update=True, dp=table.shape[0])
+    if n_shards > 1 and spec.slice_mode == "table_column_slice":
+        # column slice: each shard streams the FULL vocab over its
+        # [Dp/M, Vc] sublane block
+        tile = _pick_tile(Vc, update=True, dp=table.shape[0] // n_shards)
+    else:
+        tile = _pick_tile(Vc // n_shards, update=True, dp=table.shape[0])
     h = opt.hyper
     if tile is None or opt.kind not in ("adam", "ftrl", "sgd"):
         raise ValueError(
@@ -284,6 +289,35 @@ def _streamed_table_update(opt: Optimizer, grads_aug, cols_sorted, leaf_state,
     if n_shards > 1:
         from mindrec_tpu.ops import sharded_stream as ss
 
+        if spec.slice_mode == "table_column_slice":
+            if opt.kind == "adam":
+                step = leaf_state["step"] + 1
+                s = step.astype(jnp.float32)
+                lr_t = (
+                    h["learning_rate"]
+                    * jnp.sqrt(1.0 - jnp.power(h["b2"], s))
+                    / (1.0 - jnp.power(h["b1"], s))
+                )
+                t2, m2, v2 = ss.adam_colsliced_sharded(
+                    mesh, table, leaf_state["m"], leaf_state["v"],
+                    cols_sorted, grads_aug, lr_t, b1=h["b1"], b2=h["b2"],
+                    eps=h["eps"], loss_scale=h["loss_scale"], tile=tile,
+                    matmul_dtype=matmul_dtype,
+                )
+                return t2, {"m": m2, "v": v2, "step": step}
+            if opt.kind == "ftrl":
+                t2, a2, l2 = ss.ftrl_colsliced_sharded(
+                    mesh, table, leaf_state["accum"], leaf_state["linear"],
+                    cols_sorted, grads_aug,
+                    learning_rate=h["learning_rate"], l1=h["l1"],
+                    l2=h["l2"], loss_scale=h["loss_scale"], tile=tile,
+                    matmul_dtype=matmul_dtype,
+                )
+                return t2, {"accum": a2, "linear": l2}
+            raise ValueError(
+                f"column-sliced streamed update supports ftrl/adam "
+                f"(kind={opt.kind})"
+            )
         if opt.kind == "adam":
             step = leaf_state["step"] + 1
             s = step.astype(jnp.float32)
@@ -458,18 +492,34 @@ def make_train_step(
         else set()
     )
     if use_pallas and sharded_tables:
+
+        def _stream_shardable(spec):
+            if spec.slice_mode == "table_row_slice":
+                return True
+            if spec.slice_mode == "table_column_slice":
+                # column slice shards the sublane (feature) axis: every
+                # shard streams ALL ids over its [Dp/M, Vc] block — no
+                # ownership clip, no vocab partitioning (the r4 verdict's
+                # "plausibly simpler than the row case" composition)
+                return (
+                    spec.fold == 1
+                    and spec.storage_shape[0] % model_shards == 0
+                )
+            return False
+
         unsupported = sorted(
             name
             for name in sharded_tables
-            if table_specs[name][1].slice_mode != "table_row_slice"
+            if not _stream_shardable(table_specs[name][1])
         )
         if unsupported or not row_layout:
             warnings.warn(
                 "the streamed pallas path composes with a model mesh only "
-                "for table_row_slice tables under row_layout=True "
-                f"(unsupported: {unsupported or 'row_layout=False'}); "
-                "falling back to the generic sharded path (correct, "
-                "bounded collectives, but slower)",
+                "for table_row_slice / fold-1 table_column_slice tables "
+                f"under row_layout=True (unsupported: "
+                f"{unsupported or 'row_layout=False'}); falling back to "
+                "the generic sharded path (correct, bounded collectives, "
+                "but slower)",
                 stacklevel=2,
             )
             use_pallas = False
@@ -855,6 +905,8 @@ def make_train_step(
                 st_list = []  # deferred feature-major streamed gathers
                 uq_cols_g, sub_uq_g = {}, {}
                 sh_tables, sh_uqcols, sh_offs, sh_tiles = [], [], [], []
+                shc_tables, shc_uqcols, shc_offs = [], [], []
+                shc_dpls, shc_tiles = [], []
                 for name in t_order:
                     path, spec = table_specs[name]
                     table = get_table(params, path)
@@ -874,6 +926,23 @@ def make_train_step(
                     uq_cols_g[name] = uq_b // r if r > 1 else uq_b
                     sub_uq_g[name] = uq_b % r if r > 1 else None
                     if name in sharded_tables:
+                        if spec.slice_mode == "table_column_slice":
+                            # column-sliced: every shard streams ALL
+                            # uniques over its sublane block; lanes
+                            # merge via one model psum
+                            dpl = table.shape[0] // model_shards
+                            tl = _pick_tile(table.shape[1], dp=dpl)
+                            if tl is None:
+                                raise ValueError(
+                                    f"table {name}: no streaming tile "
+                                    f"divides {table.shape[1]}"
+                                )
+                            shc_tables.append(table)
+                            shc_uqcols.append(uq_cols_g[name])
+                            shc_offs.append(offs[name])
+                            shc_dpls.append(dpl)
+                            shc_tiles.append(tl)
+                            continue
                         # row-sliced table: per-shard streamed gather
                         # under shard_map + ONE model-axis psum
                         tl = _pick_tile(
@@ -914,6 +983,13 @@ def make_train_step(
                     buf = buf + ss.gather_rows_sharded(
                         mesh, sh_tables, sh_uqcols, sh_offs, sh_tiles,
                         ub, width, matmul_dtype=matmul_dtype,
+                    )
+                if shc_tables:
+                    from mindrec_tpu.ops import sharded_stream as ss
+
+                    buf = buf + ss.gather_cols_sharded(
+                        mesh, shc_tables, shc_uqcols, shc_offs, shc_dpls,
+                        shc_tiles, ub, width, matmul_dtype=matmul_dtype,
                     )
                 gdata[g] = dict(
                     buf=buf, flat=flat_g, perm=perm_g, uidx_batch=uidx_b,

@@ -159,25 +159,76 @@ def test_sharded_streamed_hlo_never_moves_the_table(mesh8):
     assert seen > 0, "expected collectives in the sharded streamed HLO"
 
 
-def test_column_slice_guard_falls_back(mesh8):
-    """use_pallas + column-sliced table on a model mesh: loud warning +
-    generic fallback, and the step still runs correctly."""
+def test_column_sliced_streamed_step_matches_plain(mesh8):
+    """COLUMN-sliced streamed composition (r4 verdict item 7): every
+    shard streams ALL uniques over its [Dp/M, Vc] sublane block — no
+    ownership clip, lane windows merge via one model psum, the update
+    needs no collective at all.  Must match the plain single-device
+    streamed step exactly."""
     cfg = WideDeepConfig(
         batch_size=32, field_size=8, vocab_size=3000, emb_dim=8,
-        deep_layer_dim=(16,), sparse=True,
+        deep_layer_dim=(16,), use_mixed_precision=False, sparse=True,
         deep_table_slice_mode="table_column_slice", loss_scale=1024.0,
     )
-    model = WideDeepModel(cfg, mesh=mesh8)
     ow = optim.ftrl(loss_scale=cfg.loss_scale)
     od = optim.lazy_adam(loss_scale=cfg.loss_scale)
+    key = jax.random.PRNGKey(0)
+
+    plain_cfg = WideDeepConfig(
+        **{**cfg.__dict__, "deep_table_slice_mode": "none",
+           "table_layout": "feature_major"}
+    )
+    model_p = WideDeepModel(plain_cfg)
+    s_p = init_train_state(model_p, key, ow, od)
+    step_p = make_train_step(
+        model_p, ow, od, jit=True, donate=False, use_pallas=True,
+        matmul_dtype=jnp.float32,
+    )
+
+    model_s = WideDeepModel(cfg, mesh=mesh8)
+    s_s = init_train_state(model_s, key, ow, od)
+    with mesh8:
+        s_s = shard_train_state(s_s, model_s, mesh8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # composition must NOT warn
+            step_s = make_train_step(
+                model_s, ow, od, jit=True, donate=False, use_pallas=True,
+                matmul_dtype=jnp.float32,
+            )
+        for i in range(3):
+            b = _batch(seed=i, cfg=cfg)
+            s_p, (lw_p, ld_p) = step_p(s_p, b)
+            s_s, (lw_s, ld_s) = step_s(s_s, shard_batch(b, mesh8))
+            np.testing.assert_allclose(float(ld_p), float(ld_s), rtol=1e-5)
+            np.testing.assert_allclose(float(lw_p), float(lw_s), rtol=1e-5)
+    from mindrec_tpu.ops.embedding import from_storage
+
+    lp = from_storage(model_p.deep_spec, s_p.params["deep"]["table"])
+    ls = from_storage(model_s.deep_spec, s_s.params["deep"]["table"])
+    np.testing.assert_allclose(ls, lp, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_s.opt_d["deep/table"]["m"]),
+        np.asarray(s_p.opt_d["deep/table"]["m"]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_unsupported_sharded_regime_falls_back(mesh8):
+    """Sharded regimes the streamed path does not compose with
+    (row_layout=False here) must warn loudly and fall back to the
+    generic path, which still runs correctly."""
+    model = WideDeepModel(CFG, mesh=mesh8)
+    ow = optim.ftrl(loss_scale=CFG.loss_scale)
+    od = optim.lazy_adam(loss_scale=CFG.loss_scale)
     state = init_train_state(model, jax.random.PRNGKey(0), ow, od)
     with mesh8:
         state = shard_train_state(state, model, mesh8)
         with pytest.warns(UserWarning, match="falling back to the generic"):
             step = make_train_step(
                 model, ow, od, jit=True, donate=False, use_pallas=True,
+                row_layout=False,
             )
-        state, (lw, ld) = step(state, shard_batch(_batch(seed=0, cfg=cfg), mesh8))
+        state, (lw, ld) = step(state, shard_batch(_batch(seed=0), mesh8))
     assert np.isfinite(float(lw)) and np.isfinite(float(ld))
 
 
