@@ -220,9 +220,12 @@ class RecModel:
             # transfer hides under it; nothing to change
             return
         # amortize the link's FIXED per-put cost to <= ~5 ms/batch (well
-        # under any step at these batch sizes); capped by the staging
-        # memory the superbatch holds host+device
+        # under any step at these batch sizes), capped by the staging
+        # memory the superbatch holds host+device; quantized to a power
+        # of two so session-to-session link variance maps to the same
+        # compiled fused-driver shapes (one trace per depth, cached)
         k = max(1, min(16, -(-int(fixed_ms) // 5)))
+        k = 1 << (k - 1).bit_length() if k > 1 else 1
         self.wire = wire
         self.prep_placement = "device"
         self.host_prep = True
